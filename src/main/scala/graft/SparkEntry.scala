@@ -1,13 +1,212 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` = one entry per implemented operator family from SURVEY.md §2
+  * (+ the training-data-pipeline operators), each with a DuckDB-equivalent
+  * oracle in `oracleSql` where ANSI-SQL-expressible. Column names are kept
+  * identical between the Spark plan and the oracle SQL (the driver's compare
+  * sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the KG-construction mini-pipeline (text extraction → mention
+    * linking → triple emit) over the sf0.001 documents table. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    KgQueries.triples(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — relational operator families (SURVEY §2) —
+    "s9_stats_report"       -> (Relational.statsReport _),
+    "f1_prefilter"          -> (Relational.prefilter _),
+    "f8_label_validity"     -> (Relational.labelValidity _),
+    "j1_broadcast_dim_join" -> (Relational.broadcastDimJoin _),
+    "j2_levenshtein_pairs"  -> (Relational.levenshteinPairs _),
+    "j7_anti_join_new"      -> (Relational.antiJoinNew _),
+    "j9_lexical_key_group"  -> (Relational.lexicalKeyGroup _),
+    "a2_surface_form_freq"  -> (Relational.surfaceFormFreq _),
+    "a3_median_agg"         -> (Relational.medianAgg _),
+    "a7_rule_mining_stats"  -> (Relational.ruleMiningStats _),
+    "a12_functional_pred"   -> (Relational.functionalPredicate _),
+    "a14_majority_share"    -> (Relational.majorityWithShare _),
+    "a16_degree_popularity" -> (Relational.degreePopularity _),
+    "w1_topk_per_group"     -> (Relational.topKPerGroup _),
+    "a10_domain_range"      -> (Relational.domainRangeHeuristic _),
+    "u2_set_difference"     -> (Relational.setDifference _),
+    "g2_type_closure"       -> (Relational.typeClosure _),
+    "g9_connected_components" -> (Relational.connectedComponents _),
+    // — training-data-pipeline operators —
+    "dedup_exact"             -> (Dedup.exactDedup _),
+    "dedup_ngram_jaccard"     -> (Dedup.ngramJaccard _),
+    "dedup_minhash_lsh"       -> (Dedup.minhashLsh _),
+    "dedup_minhash_fast"      -> (Dedup.minhashLshFast _), // rows-only (xxhash64)
+    "dedup_simhash"           -> (Dedup.simhash _),
+    "dedup_embedding_cosine"  -> (Dedup.embeddingCosine _),
+    "ann_bruteforce_topk"     -> (Ann.bruteForceTopK _),
+    "ann_ivf_topk"            -> (Ann.ivfTopK _),
+    "text_lang_id"            -> (TextOps.langId _),
+    "text_quality_score"      -> (TextOps.qualityScore _),
+    "text_token_count"        -> (TextOps.tokenCount _),
+    "text_fingerprint"        -> (TextOps.fingerprint _),
+    "mm_decode_meta" -> ((s, d) => graft.multimodal.MediaDecoder
+      .decodeMetaColumns(graft.core.Tables.documents(s, d).select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.to_binary(
+          org.apache.spark.sql.functions.col("text"),
+          org.apache.spark.sql.functions.lit("utf-8")).as("content")))),
+    "stream_window_counts" -> ((s, d) =>
+      graft.streaming.Streams.windowedCounts(graft.core.Tables.events(s, d))),
+    "stream_sessionize" -> ((s, d) =>
+      graft.streaming.Streams.sessionize(graft.core.Tables.events(s, d))),
+    // — KG-construction stages over documents-as-pages —
+    "kg_extract_invariant"    -> (KgQueries.extractInvariant _),
+    "kg_triples"              -> (KgQueries.triples _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s9_stats_report" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         round(sum(l_quantity),6) AS sum_qty,
+         round(avg(l_extendedprice),6) AS avg_price,
+         count(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem GROUP BY 1,2""",
+    "f1_prefilter" ->
+      "SELECT doc_id, n_chars FROM documents WHERE lang='en' AND text LIKE '%spark%'",
+    "f8_label_validity" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE length(p_name)>2 AND NOT regexp_matches(p_name,'^[0-9]+$')""",
+    "j1_broadcast_dim_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         round(sum(o_totalprice),4) AS revenue
+         FROM orders JOIN customer ON o_custkey=c_custkey GROUP BY 1""",
+    "j2_levenshtein_pairs" ->
+      """SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key
+         FROM supplier a JOIN supplier b
+           ON substring(a.s_name,1,8)=substring(b.s_name,1,8)
+          AND a.s_suppkey < b.s_suppkey
+         WHERE levenshtein(a.s_name,b.s_name) <= 2""",
+    "j7_anti_join_new" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey=c.c_custkey AND o.o_totalprice > 150000)""",
+    "j9_lexical_key_group" ->
+      """SELECT regexp_replace(lower(p_type),'[^a-z0-9]','','g') AS lex_key,
+         count(*) AS n_parts FROM part GROUP BY 1""",
+    "a2_surface_form_freq" ->
+      """WITH c AS (SELECT event_type, user_id % 10 AS user_bucket,
+                    count(*) AS cnt FROM events GROUP BY 1,2)
+         SELECT event_type, user_bucket, cnt,
+           round(cnt / sum(cnt) OVER (PARTITION BY event_type), 6) AS freq
+         FROM c""",
+    "a3_median_agg" ->
+      """SELECT l_returnflag, round(median(l_quantity),6) AS med_qty,
+         round(median(l_extendedprice),6) AS med_price
+         FROM lineitem GROUP BY 1""",
+    "a7_rule_mining_stats" ->
+      """WITH lvl1 AS (
+           SELECT l_returnflag, l_orderkey,
+             sum(CASE WHEN l_discount>0.05 THEN 1 ELSE 0 END) AS hit_cnt,
+             count(*) AS cnt
+           FROM lineitem GROUP BY 1,2),
+         lvl1c AS (SELECT *, hit_cnt/cnt AS conf FROM lvl1),
+         micro AS (
+           SELECT l_returnflag,
+             CAST(sum(hit_cnt) AS DOUBLE)/CAST(sum(cnt) AS DOUBLE) AS micro_mean_raw,
+             avg(conf) AS macro_mean_raw
+           FROM lvl1c GROUP BY 1)
+         SELECT l.l_returnflag,
+           round(max(m.micro_mean_raw),6) AS micro_mean,
+           round(max(m.macro_mean_raw),6) AS macro_mean,
+           round(avg(abs(l.conf - m.micro_mean_raw)),6) AS micro_std,
+           count(DISTINCT l.l_orderkey) AS group_count
+         FROM lvl1c l JOIN micro m ON l.l_returnflag=m.l_returnflag
+         GROUP BY 1""",
+    "a12_functional_pred" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS cnt
+                    FROM events GROUP BY 1,2)
+         SELECT event_type,
+           round(avg(CASE WHEN cnt>1 THEN 1.0 ELSE 0.0 END),6) AS multi_share,
+           round(avg(CASE WHEN cnt>1 THEN 1.0 ELSE 0.0 END),6) <= 0.05 AS functional
+         FROM c GROUP BY 1""",
+    "a14_majority_share" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+                    FROM events GROUP BY 1,2),
+         r AS (SELECT *,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY cnt DESC, event_type ASC) AS rn,
+           round(cnt / sum(cnt) OVER (PARTITION BY user_id), 6) AS share
+           FROM c)
+         SELECT user_id, event_type AS majority_type, cnt, share
+         FROM r WHERE rn=1""",
+    "a16_degree_popularity" ->
+      """SELECT nationkey, count(*) AS degree FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           UNION ALL SELECT s_nationkey FROM supplier) GROUP BY 1""",
+    "w1_topk_per_group" ->
+      """SELECT * FROM (
+           SELECT l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rnk
+           FROM lineitem) WHERE rnk <= 3""",
+    "a10_domain_range" ->
+      """WITH c AS (SELECT event_type, user_id % 5 AS type_bucket,
+                    count(*) AS cnt FROM events GROUP BY 1,2),
+         r AS (SELECT *,
+           cnt / sum(cnt) OVER (PARTITION BY event_type) AS share,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cnt DESC, type_bucket ASC) AS rn
+           FROM c)
+         SELECT event_type, type_bucket AS top_bucket, round(share,6) AS share
+         FROM r WHERE rn=1 AND share >= 0.15""",
+    "u2_set_difference" ->
+      """SELECT p_partkey, p_name FROM part p
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+           WHERE l.l_partkey=p.p_partkey AND l.l_quantity >= 49)""",
+    "g2_type_closure" ->
+      """WITH RECURSIVE edges AS (
+           SELECT 'c'||c_custkey AS node, 'n'||c_nationkey AS anc FROM customer
+           UNION ALL
+           SELECT 'n'||n_nationkey, 'r'||n_regionkey FROM nation),
+         clos(node, anc) AS (
+           SELECT node, anc FROM edges
+           UNION
+           SELECT c.node, e.anc FROM clos c JOIN edges e ON c.anc=e.node)
+         SELECT node, anc FROM clos""",
+    "g9_connected_components" ->
+      """WITH RECURSIVE e AS (
+           SELECT DISTINCT 'o'||l_orderkey AS src, 'p'||l_partkey AS dst
+           FROM lineitem WHERE l_partkey <= 20),
+         ud AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         reach(node, r) AS (
+           SELECT src, src FROM ud
+           UNION
+           SELECT ud.dst, reach.r FROM reach JOIN ud ON reach.node=ud.src)
+         SELECT node, min(r) AS component FROM reach GROUP BY node""",
+    "dedup_exact"            -> Dedup.exactDedupSql,
+    "dedup_ngram_jaccard"    -> Dedup.ngramJaccardSql,
+    "dedup_minhash_lsh"      -> Dedup.minhashLshSql,
+    "dedup_simhash"          -> Dedup.simhashSql,
+    "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
+    "ann_bruteforce_topk"    -> Ann.bruteForceTopKSql,
+    "ann_ivf_topk"           -> Ann.ivfTopKSql,
+    "text_lang_id"           -> TextOps.langIdSql,
+    "text_quality_score"     -> TextOps.qualityScoreSql,
+    "text_token_count"       -> TextOps.tokenCountSql,
+    "text_fingerprint"       -> TextOps.fingerprintSql,
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+         CASE WHEN octet_length(encode(text))%3=0 THEN 'png'
+              WHEN octet_length(encode(text))%3=1 THEN 'jpg'
+              ELSE 'webp' END AS fmt,
+         CAST(octet_length(encode(text))%640+16 AS INT) AS width,
+         CAST((octet_length(encode(text))*7)%480+16 AS INT) AS height,
+         CAST(octet_length(encode(text))%10+1 AS INT) AS n_frames
+         FROM documents""",
+    "stream_window_counts"   -> graft.streaming.Streams.windowedCountsSql,
+    "stream_sessionize"      -> graft.streaming.Streams.sessionizeSql,
+    "kg_extract_invariant"   -> KgQueries.extractInvariantOracle,
+    "kg_triples"             -> KgQueries.triplesOracle,
+  )
 }

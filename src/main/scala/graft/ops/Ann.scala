@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Similarity search over the embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (query set broadcast, full scan of the
+  * corpus side — the exact answer and the thing every ANN variant is measured
+  * against). Scale path: IVF — assign every vector to its nearest centroid
+  * (one broadcast join), then search only the probe's cell, cutting the
+  * scanned fraction to ~1/nCells per query. At 100 TB the centroid table is
+  * k-means output; here centroids are a deterministic subset (vec_id < 8) so
+  * the oracle can reproduce cell assignment exactly.
+  *
+  * All dot products run in double via zip_with+aggregate in strict index
+  * order — bit-identical to the DuckDB oracle's list_transform+list_sum, so
+  * score-ordered ranks compare exactly.
+  */
+object Ann {
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-5 cosine neighbors for query vectors vec_id < 10.
+    * The query side is tiny → broadcast; corpus side is scanned once, no
+    * shuffle until the per-query top-k window. */
+  def bruteForceTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    e.select(col("vec_id").as("neighbor_id"), col("emb").as("ne"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+              round(col("cos"), 6).as("cos"))
+  }
+
+  val bruteForceTopKSql: String =
+    """WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+       q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+       sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*emb[i]))
+          / (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])))
+           * sqrt(list_sum(list_transform(range(1, len(emb)+1), i -> emb[i]*emb[i]))))
+          AS cos
+          FROM q JOIN e ON e.vec_id <> q.query_id),
+       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM sc)
+       SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos
+       FROM r WHERE rnk <= 5"""
+
+  /** IVF top-3: centroids = vectors with vec_id < 8 (deterministic stand-in
+    * for k-means output); every vector assigned to its argmax-cosine cell
+    * (tie-break: centroid id asc); queries (vec_id in [8,13)) search only
+    * their own cell. */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val assigned = e.join(broadcast(cents))
+      .withColumn("ccos", cosine(col("emb"), col("ce")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+    val q = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("cell"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned
+      .select(col("vec_id").as("neighbor_id"), col("emb").as("ne"), col("cell"))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qe"), col("ne")))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+              round(col("cos"), 6).as("cos"))
+  }
+
+  val ivfTopKSql: String =
+    """WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+       cents AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+       sc AS (SELECT e.vec_id, e.emb, c.cent_id,
+          list_sum(list_transform(range(1, len(emb)+1), i -> emb[i]*ce[i]))
+          / (sqrt(list_sum(list_transform(range(1, len(emb)+1), i -> emb[i]*emb[i])))
+           * sqrt(list_sum(list_transform(range(1, len(ce)+1), i -> ce[i]*ce[i]))))
+          AS ccos
+          FROM e CROSS JOIN cents c),
+       assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY ccos DESC, cent_id ASC) AS arn FROM sc) WHERE arn=1),
+       q AS (SELECT vec_id AS query_id, emb AS qe, cell FROM assigned
+             WHERE vec_id >= 8 AND vec_id < 13),
+       cand AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*a.emb[i]))
+          / (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])))
+           * sqrt(list_sum(list_transform(range(1, len(a.emb)+1), i -> a.emb[i]*a.emb[i]))))
+          AS cos
+          FROM q JOIN assigned a ON q.cell=a.cell AND a.vec_id <> q.query_id),
+       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM cand)
+       SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos
+       FROM r WHERE rnk <= 3"""
+}

@@ -1,0 +1,284 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Document deduplication operators for a large-scale training-data pipeline:
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH (shingle → minhash →
+  * band → bucket-join), SimHash, and embedding-cosine near-dup.
+  *
+  * All variants share the shingling stage (word 3-grams, set semantics).
+  * Everything is pure `functions._` Column expressions — no UDFs — so the
+  * whole pipeline stays inside whole-stage codegen.
+  *
+  * Scale notes (100 TB corpus):
+  *  - exact dedup: one shuffle keyed by content hash; map-side partial agg.
+  *  - n-gram Jaccard is the quadratic baseline: the shingle self-join
+  *    explodes on hot shingles, so a document-frequency cut (df <= maxDf)
+  *    bounds it — the standard trick; true near-dups share RARE shingles.
+  *  - MinHash+LSH is the linear-ish scale path: candidate pairs only within
+  *    LSH band buckets, then exact-Jaccard verification of candidates.
+  *  - SimHash: 16-bit fingerprint, blocking on the top byte, Hamming<=3
+  *    verification; one shuffle per stage.
+  */
+object Dedup {
+
+  /** MinHash parameters (shared verbatim with the DuckDB oracle SQL). */
+  val P = 1000000007L
+  val HashA: Seq[Long] = Seq(735193, 433024223, 84983, 563167217, 908491, 193939393, 662551, 104395301)
+  val HashB: Seq[Long] = Seq(579017, 912391, 487561723, 36947, 713717717, 817504243, 257191, 11926999)
+  val NumHashes = 8
+  val BandRows = 2 // => 4 bands
+
+  // — shared shingling (word 3-grams, distinct per doc) —
+
+  private def toksCol: Column = split(col("text"), " ")
+
+  /** (doc_id, shingle) distinct pairs. */
+  def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(size(toksCol) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(toksCol) - 2),
+          i => concat_ws(" ", slice(toksCol, i, lit(3)))))).as("shingle"))
+
+  val shinglesSql: String =
+    """SELECT doc_id, unnest(list_distinct(list_transform(
+         range(1, len(string_split(text,' '))-1),
+         i -> string_split(text,' ')[i] || ' ' ||
+              string_split(text,' ')[i+1] || ' ' ||
+              string_split(text,' ')[i+2]))) AS shingle
+       FROM documents WHERE len(string_split(text,' ')) >= 3"""
+
+  /** Exact dedup: group by full content, keep min doc_id as the survivor.
+    * Output one row per distinct text. */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("text"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+      .select(md5(to_binary(col("text"), lit("utf-8"))).as("text_md5"),
+              col("keep_id"), col("dup_count"))
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+       count(*) AS dup_count FROM documents GROUP BY text"""
+
+  /** n-gram Jaccard near-dup: shingle self-join (df-cut maxDf=100) →
+    * common-shingle counts → Jaccard >= 0.5. Output (a, b, jac). */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    // df-cut: drop shingles appearing in >100 docs (hot-key bound)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select("shingle")
+    val shr = sh.join(rare, "shingle")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = shr.select(col("doc_id").as("a"), col("shingle"))
+      .join(shr.select(col("doc_id").as("b"), col("shingle")), "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= 0.5)
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH sh AS ($shinglesSql),
+        rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
+        shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        cm AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+               FROM shr x JOIN shr y ON x.shingle=y.shingle AND x.doc_id<y.doc_id
+               GROUP BY 1,2)
+        SELECT a, b, round(CAST(c AS DOUBLE)/(sa.n+sb.n-c), 6) AS jac
+        FROM cm JOIN sizes sa ON cm.a=sa.doc_id JOIN sizes sb ON cm.b=sb.doc_id
+        WHERE CAST(c AS DOUBLE)/(sa.n+sb.n-c) >= 0.5"""
+
+  /** Deterministic shingle ids: dense ranks over the sorted distinct shingle
+    * domain. Oracle-checkable (identical in SQL); the global sort is the
+    * price of determinism — the scale path [[minhashLshFast]] replaces it
+    * with xxhash64. */
+  private def shingleIds(sh: DataFrame): DataFrame =
+    sh.select("shingle").distinct()
+      .withColumn("sid", row_number().over(Window.orderBy("shingle")).cast("long"))
+
+  /** MinHash + LSH near-dup detection, exact-oracle variant.
+    * minhash_k(doc) = min over shingles of (a_k*sid + b_k) mod P; 4 bands of
+    * 2 hashes; candidates = pairs sharing a band bucket; verified with true
+    * Jaccard >= 0.5. Output (a, b, jac) — must equal [[ngramJaccard]] on
+    * corpora where LSH recall is 1.0 at the threshold. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val dsh = sh.join(shingleIds(sh), "shingle").select("doc_id", "sid")
+    val ks = (0 until NumHashes).map { k =>
+      struct(lit(k).as("k"), lit(HashA(k)).as("ha"), lit(HashB(k)).as("hb"))
+    }
+    val mh = dsh
+      .select(col("doc_id"), col("sid"), explode(array(ks: _*)).as("h"))
+      .groupBy(col("doc_id"), col("h.k").as("k"))
+      .agg(min((col("h.ha") * col("sid") + col("h.hb")) % P).as("mh"))
+    val bands = mh
+      .withColumn("band", (col("k") / BandRows).cast("int"))
+      .groupBy("doc_id", "band")
+      // deterministic bucket key: minhashes concatenated in k order
+      .agg(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", col("k"), col("mh"))))).as("bucket"))
+    val cand = bands.select(col("doc_id").as("a"), col("band"), col("bucket"))
+      .join(bands.select(col("doc_id").as("b"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // verification with true Jaccard
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.select(col("doc_id").as("a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    cand.join(common, Seq("a", "b"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= 0.5)
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+  }
+
+  val minhashLshSql: String = {
+    val hashSel = (0 until NumHashes).map { k =>
+      s"SELECT doc_id, $k AS k, min((${HashA(k)}*sid + ${HashB(k)}) % $P) AS mh FROM dsh GROUP BY 1"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS ($shinglesSql),
+        sid AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
+                FROM (SELECT DISTINCT shingle FROM sh)),
+        dsh AS (SELECT doc_id, sid FROM sh JOIN sid USING (shingle)),
+        mh AS ($hashSel),
+        bands AS (
+          SELECT doc_id, CAST(k/$BandRows AS INT) AS band,
+            string_agg(k || ':' || mh, ',' ORDER BY k || ':' || mh) AS bucket
+          FROM mh GROUP BY 1,2),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                 FROM bands x JOIN bands y
+                   ON x.band=y.band AND x.bucket=y.bucket AND x.doc_id<y.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        cm AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+               FROM sh x JOIN sh y ON x.shingle=y.shingle AND x.doc_id<y.doc_id
+               GROUP BY 1,2)
+        SELECT cand.a, cand.b, round(CAST(c AS DOUBLE)/(sa.n+sb.n-c),6) AS jac
+        FROM cand JOIN cm ON cand.a=cm.a AND cand.b=cm.b
+        JOIN sizes sa ON cand.a=sa.doc_id JOIN sizes sb ON cand.b=sb.doc_id
+        WHERE CAST(c AS DOUBLE)/(sa.n+sb.n-c) >= 0.5"""
+  }
+
+  /** MinHash+LSH scale path: xxhash64 shingle hashing (no global sort, no
+    * shingle-id dictionary — fully shuffle-local). Same band/bucket scheme.
+    * Not DuckDB-expressible (different hash) → rows-only check. */
+  def minhashLshFast(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+      .select(col("doc_id"), (pmod(xxhash64(col("shingle")), lit(P))).as("sid"))
+    val ks = (0 until NumHashes).map { k =>
+      struct(lit(k).as("k"), lit(HashA(k)).as("ha"), lit(HashB(k)).as("hb"))
+    }
+    val mh = sh
+      .select(col("doc_id"), col("sid"), explode(array(ks: _*)).as("h"))
+      .groupBy(col("doc_id"), col("h.k").as("k"))
+      .agg(min((col("h.ha") * col("sid") + col("h.hb")) % P).as("mh"))
+    val bands = mh
+      .withColumn("band", (col("k") / BandRows).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", col("k"), col("mh"))))).as("bucket"))
+    bands.select(col("doc_id").as("a"), col("band"), col("bucket"))
+      .join(bands.select(col("doc_id").as("b"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** SimHash (16-bit) near-dup: per-token hash bits weighted-majority into a
+    * fingerprint; blocking on the high byte; Hamming distance <= 3.
+    * Token hash = Knuth multiplicative on the deterministic shingle id so the
+    * oracle can reproduce it bit-for-bit. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val dsh = sh.join(shingleIds(sh), "shingle").select("doc_id", "sid")
+    val h = ((col("sid") * 2654435761L) % 4294967296L).as("h")
+    val bits = (0 until 16).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val fp = dsh.select(col("doc_id"), h)
+      .groupBy("doc_id").agg(bits.head, bits.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+    val blocked = fp.withColumn("block", shiftright(col("simhash"), 8))
+    blocked.select(col("doc_id").as("a"), col("simhash").as("fa"), col("block"))
+      .join(blocked.select(col("doc_id").as("b"), col("simhash").as("fb"),
+                           col("block")), "block")
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .filter(col("hamming") <= 3)
+      .select("a", "b", "hamming")
+  }
+
+  val simhashSql: String = {
+    val bitSums = (0 until 16).map { j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(", ")
+    val fpExpr = (0 until 16).map { j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH sh AS ($shinglesSql),
+        sid AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
+                FROM (SELECT DISTINCT shingle FROM sh)),
+        dsh AS (SELECT doc_id, (sid * 2654435761) % 4294967296 AS h
+                FROM sh JOIN sid USING (shingle)),
+        bs AS (SELECT doc_id, $bitSums FROM dsh GROUP BY 1),
+        fp AS (SELECT doc_id, $fpExpr AS simhash FROM bs),
+        blocked AS (SELECT doc_id, simhash, simhash >> 8 AS block FROM fp)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+          bit_count(xor(x.simhash, y.simhash)) AS hamming
+        FROM blocked x JOIN blocked y
+          ON x.block=y.block AND x.doc_id<y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 3"""
+  }
+
+  /** Embedding-cosine near-dup: pairs within the same label partition with
+    * cosine >= 0.35. Dot/norms via zip_with+aggregate in strict index order
+    * (bit-identical to the oracle's list_transform+list_sum).
+    * At scale the label column is the IVF-style partitioner; a full corpus
+    * would use [[Ann.ivfTopK]]'s centroid assignment as the blocking key. */
+  def embeddingCosine(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+              transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val a = e.select(col("vec_id").as("a"), col("label"), col("emb").as("ea"))
+    val b = e.select(col("vec_id").as("b"), col("label"), col("emb").as("eb"))
+    val dot = aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(zip_with(col("ea"), col("ea"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(zip_with(col("eb"), col("eb"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    a.join(b, "label").filter(col("a") < col("b"))
+      .withColumn("cos", dot / (sqrt(na) * sqrt(nb)))
+      .filter(col("cos") >= 0.35)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
+  val embeddingCosineSql: String =
+    """WITH e AS (SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+       p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+          list_sum(list_transform(range(1, len(x.emb)+1), i -> x.emb[i]*y.emb[i]))
+          / (sqrt(list_sum(list_transform(range(1, len(x.emb)+1), i -> x.emb[i]*x.emb[i])))
+           * sqrt(list_sum(list_transform(range(1, len(y.emb)+1), i -> y.emb[i]*y.emb[i]))))
+          AS cos
+          FROM e x JOIN e y ON x.label=y.label AND x.vec_id<y.vec_id)
+       SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.35"""
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** KG-construction stages expressed over the driver's `documents` table
+  * (treated as a mini page corpus: url := source/doc_id, text := text) so the
+  * DuckDB oracle can check them. The full pipeline over `(url, warc_ts, html,
+  * text, lang)` pages lives in graft.{ingest,listings,link,taxonomy,
+  * canonical,emit} and is exercised by the ScalaTest suites + Bench.
+  */
+object KgQueries {
+
+  /** The alias dictionary used by the mini-pipeline (≙ surface-form store,
+    * reference `impl/dbpedia/resource.py:163-194`). Deliberately tiny and
+    * inline so the oracle SQL can embed identical VALUES. */
+  val miniAliases: Seq[(String, String)] = Seq(
+    "spark"    -> "ent:Spark",
+    "vector"   -> "ent:Vector",
+    "customer" -> "ent:Customer",
+    "stream"   -> "ent:Stream",
+    "window"   -> "ent:Window",
+  )
+
+  /** Byte-identity invariant stage (north rule): deterministic text
+    * normalization + md5 content hash per url — the per-row invariant the
+    * driver can re-check bit-for-bit (reference analogue: markup
+    * normalization `impl/wikipedia/page_parser.py:224-251`). */
+  def extractInvariant(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(to_binary(trim(regexp_replace(col("text"), "\\s+", " ")), lit("utf-8")))
+        .as("text_md5"),
+      length(col("text")).as("text_len"))
+
+  /** Mini triple emit: tokenize → broadcast alias join → distinct
+    * (subj, pred, obj) triples (≙ `impl/caligraph/serialize.py:21-46`).
+    * The alias join broadcasts the dictionary — zero shuffle of the corpus
+    * side; `distinct` is the only shuffle, keyed by the triple itself. */
+  def triples(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dict = miniAliases.toDF("tok", "ent")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+              explode(split(col("text"), " ")).as("tok"))
+    val mentions = toks.join(broadcast(dict), "tok")
+      .select(concat(lit("doc:"), col("doc_id")).as("subj"),
+              lit("mentions").as("pred"), col("ent").as("obj"))
+    val langs = Tables.documents(s, d)
+      .select(concat(lit("doc:"), col("doc_id")).as("subj"),
+              lit("lang").as("pred"), col("lang").as("obj"))
+    mentions.unionByName(langs).distinct()
+  }
+
+  def triplesOracle: String = {
+    val vals = miniAliases.map { case (t, e) => s"('$t','$e')" }.mkString(",")
+    s"""WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        dict(tok, ent) AS (VALUES $vals),
+        mentions AS (
+          SELECT 'doc:'||t.doc_id AS subj, 'mentions' AS pred, dict.ent AS obj
+          FROM toks t JOIN dict ON t.tok=dict.tok),
+        langs AS (
+          SELECT 'doc:'||doc_id AS subj, 'lang' AS pred, lang AS obj
+          FROM documents)
+        SELECT DISTINCT subj, pred, obj FROM
+          (SELECT * FROM mentions UNION ALL SELECT * FROM langs)"""
+  }
+
+  def extractInvariantOracle: String =
+    """SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
+       length(text) AS text_len FROM documents"""
+}

@@ -1,0 +1,234 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Relational operator library over the driver testdata tables.
+  *
+  * Each query re-expresses one operator family from SURVEY.md §2 (reference
+  * citations inline) as a declarative DataFrame plan so Catalyst gets full
+  * pushdown/pruning/codegen. Numeric outputs are rounded and cast so the
+  * DuckDB oracle hashes identically (sum→double, count→long, round(_,6)).
+  */
+object Relational {
+
+  /** S9 stats report (serialize.py:345-396): grouped aggregate rollup.
+    * Partial (map-side) aggregation is free via hash-agg; no extra shuffle
+    * beyond the single groupBy. */
+  def statsReport(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 6).as("sum_qty"),
+        round(avg("l_extendedprice"), 6).as("avg_price"),
+        countDistinct("l_orderkey").as("n_orders"))
+
+  /** F1 listing-indicator prefilter (page_parser.py:179,226): cheap predicate
+    * BEFORE any expensive extraction; pushed into the parquet scan. */
+  def prefilter(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("lang") === "en" && col("text").contains("spark"))
+      .select(col("doc_id"), col("n_chars"))
+
+  /** F8 mention-label validity (page_parser.py:436, mention_detection:111):
+    * length>2 && not all-digits. */
+  def labelValidity(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"))
+      .filter(length(col("p_name")) > 2 && !col("p_name").rlike("^[0-9]+$"))
+
+  /** J1 broadcast alias-dictionary join (resource.py:180-194 probe at
+    * cat2ax.py:148): small dimension side broadcast — no shuffle of the fact
+    * table. */
+  def broadcastDimJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum("o_totalprice"), 4).as("revenue"))
+
+  /** J2 spelling-redirect resolution (resource.py:290-305): self-join guarded
+    * by levenshtein<=2 (built-in, codegen'd). Equi-prefilter on an 8-char
+    * prefix turns the O(n^2) theta-join into a key-partitioned join — the
+    * same trick scales to 10^9 names where a raw cross join cannot. */
+  def levenshteinPairs(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.supplier(s, d).select(col("s_suppkey").as("a_key"),
+                                         col("s_name").as("a_name"))
+    val b = Tables.supplier(s, d).select(col("s_suppkey").as("b_key"),
+                                         col("s_name").as("b_name"))
+    a.join(b, substring(col("a_name"), 1, 8) === substring(col("b_name"), 1, 8) &&
+              col("a_key") < col("b_key"))
+      .filter(levenshtein(col("a_name"), col("b_name")) <= 2)
+      .select("a_key", "b_key")
+  }
+
+  /** J7 new-relations anti-join (extract.py:286-289): keep only rows absent
+    * from the existing KG. */
+  def antiJoinNew(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 150000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** J9 lexical-key equi-join (matching/lexical.py:22-96): normalize to the
+    * alias key (lower → alphanumeric squash) then group. The normalization is
+    * a pure Catalyst expression chain — stays inside whole-stage codegen. */
+  def lexicalKeyGroup(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(regexp_replace(lower(col("p_type")), "[^a-z0-9]", "").as("lex_key"))
+      .groupBy("lex_key")
+      .agg(count(lit(1)).as("n_parts"))
+
+  /** A2 surface-form reference frequencies (resource.py:180-194): count per
+    * (alias,entity), window-normalize to P(ent|alias). */
+  def surfaceFormFreq(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type")
+    counts
+      .withColumn("freq", round(col("cnt") / sum("cnt").over(w), 6))
+      .select("event_type", "user_bucket", "cnt", "freq")
+  }
+
+  /** A3 exact median aggregation (cat2ax.py:100-139): per-group exact median
+    * (Spark `median` = interpolated 0.5-percentile, matching DuckDB). */
+  def medianAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(median(col("l_quantity")), 6).as("med_qty"),
+           round(median(col("l_extendedprice")), 6).as("med_price"))
+
+  /** A7 two-level rule mining with the reference's bespoke micro_std
+    * (extract.py:90-139): level 1 = per-(flag,order) confidence; level 2 =
+    * micro mean via sums, macro mean via confidence average, micro_std =
+    * mean ABSOLUTE deviation from the micro mean (NOT stddev — the algebra at
+    * extract.py:135-138 is reproduced exactly; see taxonomy.RuleMining for
+    * the KG-side version with zero-filling). */
+  def ruleMiningStats(s: SparkSession, d: String): DataFrame = {
+    val lvl1 = Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_orderkey")
+      .agg(sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("hit_cnt"),
+           count(lit(1)).as("cnt"))
+      .withColumn("conf", col("hit_cnt") / col("cnt"))
+    val micro = lvl1.groupBy("l_returnflag")
+      .agg((sum("hit_cnt") / sum("cnt")).as("micro_mean_raw"),
+           avg("conf").as("macro_mean_raw"))
+    lvl1.join(micro, "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(round(first("micro_mean_raw"), 6).as("micro_mean"),
+           round(first("macro_mean_raw"), 6).as("macro_mean"),
+           round(avg(abs(col("conf") - col("micro_mean_raw"))), 6).as("micro_std"),
+           countDistinct("l_orderkey").as("group_count"))
+  }
+
+  /** A12 functional-predicate detection (heuristics.py:168-184): predicate is
+    * functional when >=95% of subjects have exactly one object. */
+  def functionalPredicate(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type")
+      .agg(round(avg(when(col("cnt") > 1, 1.0).otherwise(0.0)), 6)
+             .as("multi_share"))
+      .withColumn("functional", col("multi_share") <= 0.05)
+
+  /** A14 majority / most_common(1) with share (entity.py:121,
+    * greedy_clustering.py:118-127): window argmax with a DETERMINISTIC
+    * tie-break (count desc, then value asc) — parallelism-invariant. */
+  def majorityWithShare(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("cnt").desc, col("event_type").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("share",
+        round(col("cnt") / sum("cnt").over(Window.partitionBy("user_id")), 6))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("majority_type"),
+              col("cnt"), col("share"))
+  }
+
+  /** A16 entity popularity = in-degree + out-degree (matching/graph.py:17-25):
+    * union of both directions, single aggregate. */
+  def degreePopularity(s: SparkSession, d: String): DataFrame = {
+    val out = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+    val in = Tables.supplier(s, d)
+      .select(col("s_nationkey").cast("int").as("nationkey"))
+    out.unionByName(in).groupBy("nationkey")
+      .agg(count(lit(1)).as("degree"))
+  }
+
+  /** W1 top-k per group (lexical.py:79-89): window row_number <= k with a
+    * total order (price desc, linenumber asc) for determinism. */
+  def topKPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+  }
+
+  /** A10 domain/range heuristic (dbpedia/heuristics.py:12-62): per predicate,
+    * argmax type share above a threshold. */
+  def domainRangeHeuristic(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("event_type"), (col("user_id") % 5).as("type_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type")
+    val ranked = counts
+      .withColumn("share", col("cnt") / sum("cnt").over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("cnt").desc, col("type_bucket").asc)))
+    ranked.filter(col("rn") === 1 && col("share") >= 0.15)
+      .select(col("event_type"), col("type_bucket").as("top_bucket"),
+              round(col("share"), 6).as("share"))
+  }
+
+  /** U1+U2 set ops (extract.py:63-64; ontology.py:145-147): union of two
+    * branches then set-difference via left_anti. */
+  def setDifference(s: SparkSession, d: String): DataFrame = {
+    val sold = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+      .select(col("l_partkey").as("p_partkey")).distinct()
+    Tables.part(s, d)
+      .join(sold, Seq("p_partkey"), "left_anti")
+      .select("p_partkey", "p_name")
+  }
+
+  /** G2 transitive closure (base_graph.py:76-83) as an iterative join
+    * fixpoint over an edge table (customer→nation→region, tagged node ids).
+    * Each round doubles reachable path length; terminates when no new pairs.
+    * At taxonomy scale (<=10^6 edges) this is a handful of shuffles;
+    * `localCheckpoint` would truncate lineage on deeper graphs. */
+  def typeClosure(s: SparkSession, d: String): DataFrame = {
+    val cn = Tables.customer(s, d).select(
+      concat(lit("c"), col("c_custkey")).as("node"),
+      concat(lit("n"), col("c_nationkey")).as("anc"))
+    val nr = Tables.nation(s, d).select(
+      concat(lit("n"), col("n_nationkey")).as("node"),
+      concat(lit("r"), col("n_regionkey")).as("anc"))
+    val edges = cn.unionByName(nr)
+    graft.taxonomy.Closure.transitiveClosure(edges)
+  }
+
+  /** G9 connected components (greedy_clustering.py:37-39) over a bipartite
+    * order—part graph, via alternating large-star/small-star DataFrame
+    * self-joins (see canonical.ConnectedComponents). Output: (node,
+    * component=min node id in component) — deterministic, order-free. */
+  def connectedComponents(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d)
+      .filter(col("l_partkey") <= 20)
+      .select(concat(lit("o"), col("l_orderkey")).as("src"),
+              concat(lit("p"), col("l_partkey")).as("dst"))
+      .distinct()
+    graft.canonical.ConnectedComponents.run(edges)
+  }
+}

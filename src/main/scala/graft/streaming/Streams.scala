@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference is one-shot batch
+  * (SURVEY.md §2.10), so streaming here serves the training-data-pipeline
+  * side: the same transform function runs in batch (oracle-checked) and as a
+  * readStream→writeStream query (tested with the memory sink). */
+object Streams {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** 5-minute tumbling-window counts — identical logic for batch and
+    * streaming inputs (the window key is computed as epoch-seconds so the
+    * batch form hashes identically in DuckDB). */
+  def windowedCounts(events: DataFrame): DataFrame = {
+    val winStart = (unix_timestamp(col("ts")) -
+      unix_timestamp(col("ts")) % 300).as("window_start")
+    events.groupBy(winStart, col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+  }
+
+  val windowedCountsSql: String =
+    """SELECT CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(ts)) AS BIGINT) % 300 AS window_start,
+       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+       FROM events GROUP BY 1, 2"""
+
+  /** Sessionization (30-min inactivity gap) expressed with lag+running-sum
+    * windows — the batch-checkable equivalent of
+    * mapGroupsWithState session tracking. Output: per user, session count
+    * and longest session (seconds). */
+  def sessionize(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = events
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
+             1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    sessions.groupBy("user_id", "session_id")
+      .agg((max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+             .as("dur_s"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), max("dur_s").as("max_dur_s"))
+  }
+
+  val sessionizeSql: String =
+    """WITH s AS (SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT) -
+                   CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_session
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sid AS (SELECT *, sum(new_session) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS session_id FROM s),
+       durs AS (SELECT user_id, session_id,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) -
+         min(CAST(floor(epoch(ts)) AS BIGINT)) AS dur_s
+         FROM sid GROUP BY 1,2)
+       SELECT user_id, count(*) AS n_sessions, max(dur_s) AS max_dur_s
+       FROM durs GROUP BY 1"""
+
+  /** Streaming form of [[windowedCounts]] with watermark + event-time window
+    * (used by the streaming spec via the memory sink). */
+  def streamingWindowedCounts(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema)
+      .parquet(dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+}
