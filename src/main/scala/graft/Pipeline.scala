@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Normalize
+import graft.ingest.TextExtract
+import graft.listings.ListingExtract
+import graft.link.AliasLink
+import graft.canonical.NilCluster
+import graft.taxonomy.{Disjointness, RuleMining}
+import graft.emit.TripleEmit
+import graft.runtime.StageRunner
+
+/** The end-to-end KG-construction pipeline (north rule): pages → invariant
+  * text extraction → listings/mentions → salted alias linking → NIL
+  * canonicalization (connected components) → listing rule mining +
+  * disjointness-guarded, taxonomy-aware type inference → (subj, pred, obj)
+  * triples partitioned by predicate, with per-stage checkpoints + lineage.
+  *
+  * Physical shape (SURVEY.md §4): scan → pushed lang filter → codegen'd
+  * extraction chain → per-url windows (one shuffle keyed by url) →
+  * broadcast dictionary join (salted hot slice) → CC loop (log-bounded
+  * shuffle rounds) → taxonomy-sized dimension joins (broadcast) → one
+  * partitionBy(pred) write. The corpus is shuffled ONCE on url and once per
+  * candidate-dedup; everything taxonomy-side is broadcast.
+  */
+object Pipeline {
+
+  case class Seeds(aliases: DataFrame, entityTypes: DataFrame,
+                   taxonomyEdges: DataFrame, disjointPairs: DataFrame,
+                   seedRelations: DataFrame)
+
+  /** Run (or resume) the full pipeline; returns the triple table. */
+  def run(spark: SparkSession, pages: DataFrame, seeds: Seeds,
+          outDir: String, runId: String = "run-1"): DataFrame = {
+    Normalize.register(spark)
+    val runner = new StageRunner(spark, outDir, runId)
+
+    // 1. invariant text extraction (byte-identical per url)
+    val pagesText = runner.run("pages_text") { TextExtract.extract(pages) }
+
+    // 2. listings → items → subject mentions
+    val mentions = runner.run("mentions") { ListingExtract.mentions(pagesText) }
+
+    // 3. entity linking (broadcast alias dict, salted hot keys)
+    val dict = AliasLink.buildDict(seeds.aliases)
+    val linked = runner.run("linked") { AliasLink.link(mentions, dict)._1 }
+    val unlinked = runner.run("unlinked") { AliasLink.link(mentions, dict)._2 }
+
+    // 4. NIL canonicalization via connected components
+    val nilAssign = runner.run("nil_entities") { NilCluster.cluster(unlinked) }
+
+    // 5. subject-entity table: known + new
+    val subjects = runner.run("subjects") {
+      linked.select("url", "listing_key", "mention_id", "label", "ent")
+        .withColumn("is_new", lit(false))
+        .unionByName(
+          unlinked.join(nilAssign, "mention_id")
+            .select("url", "listing_key", "mention_id", "label", "ent")
+            .withColumn("is_new", lit(true)))
+    }
+
+    // 6. rule mining + taxonomy-aware type inference
+    val seedTypes = seeds.entityTypes.select(col("ent"), col("tpe"))
+    val closureSelf = Disjointness.closureWithSelf(seeds.taxonomyEdges)
+
+    val types = runner.run("types") {
+      val listingTypes = RuleMining.listingTypeRules(subjects, seedTypes)
+      val cand = subjects.select("url", "listing_key", "ent").distinct()
+        .join(listingTypes, Seq("url", "listing_key"))
+        .select("ent", "tpe").distinct()
+        .join(seedTypes, Seq("ent", "tpe"), "left_anti") // J8: drop existing
+      val guarded = Disjointness.filterCandidates(
+        cand, seedTypes, closureSelf, seeds.disjointPairs)
+      // transitive typing: mined type + all its ancestors, minus existing
+      guarded
+        .join(broadcast(closureSelf), guarded("tpe") === closureSelf("node"))
+        .select(col("ent"), col("anc").as("tpe")).distinct()
+        .join(seedTypes, Seq("ent", "tpe"), "left_anti")
+    }
+
+    val relations = runner.run("relations") {
+      val listingRels = RuleMining.listingRelationRules(subjects,
+                                                        seeds.seedRelations)
+      subjects.select("url", "listing_key", "ent").distinct()
+        .join(listingRels, Seq("url", "listing_key"))
+        .select("ent", "pred", "obj").distinct()
+        .join(seeds.seedRelations
+                .select(col("sub").as("ent"), col("pred"), col("obj")),
+              Seq("ent", "pred", "obj"), "left_anti") // J7: only NEW relations
+    }
+
+    // 7. triples, partitioned by predicate
+    runner.runPartitioned("triples", "pred") {
+      TripleEmit.assemble(
+        labels = subjects.select("ent", "label"),
+        types = types,
+        rels = relations)
+    }
+  }
+}

@@ -1,0 +1,45 @@
+package graft.emit
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{NtCodec, Schemas}
+
+/** Triple assembly + serialization (≙ `/root/reference/impl/caligraph/
+  * serialize.py:21-51`): majority labels, mined+transitive types, mined
+  * relations → one (subj, pred, obj, is_literal) table partitioned by pred.
+  */
+object TripleEmit {
+
+  /** Majority label per entity with deterministic tie-break (A14,
+    * ≙ `entity.py:121`): count desc, label asc. */
+  def majorityLabels(entLabels: DataFrame): DataFrame = {
+    val counts = entLabels.groupBy("ent", "label").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("ent")
+      .orderBy(col("cnt").desc, col("label").asc)
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("ent").as("subj"), lit(Schemas.Preds.Label).as("pred"),
+              col("label").as("obj"), lit(true).as("is_literal"))
+  }
+
+  def typeTriples(types: DataFrame): DataFrame =
+    types.select(col("ent").as("subj"), lit(Schemas.Preds.Type).as("pred"),
+                 col("tpe").as("obj"), lit(false).as("is_literal"))
+
+  def relationTriples(rels: DataFrame): DataFrame =
+    rels.select(col("ent").as("subj"), col("pred"),
+                col("obj"), lit(false).as("is_literal"))
+
+  def assemble(labels: DataFrame, types: DataFrame,
+               rels: DataFrame): DataFrame =
+    majorityLabels(labels)
+      .unionByName(typeTriples(types))
+      .unionByName(relationTriples(rels))
+      .distinct()
+
+  /** N-Triples text rendering (one line per triple) — a single codegen'd
+    * projection over the triple table. */
+  def toNtLines(triples: DataFrame): DataFrame =
+    triples.select(NtCodec.ntLine(col("subj"), col("pred"), col("obj"),
+                                  col("is_literal")).as("value"))
+}

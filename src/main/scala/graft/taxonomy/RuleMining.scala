@@ -1,0 +1,90 @@
+package graft.taxonomy
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Listing-based type/relation rule mining, re-expressed as DataFrame
+  * aggregations (the reference stage that is ALREADY relational — pandas
+  * groupbys/merges at `/root/reference/impl/listing/extract.py:22-73,90-139,
+  * 206-258` — and therefore the most direct Spark mapping in the codebase).
+  *
+  * Per-listing rule: if >= `MinShare` of the listing's LINKED subject
+  * entities share a type (resp. a (pred, obj) relation), with support >=
+  * `MinSupport`, assert it for every subject entity of the listing that
+  * lacks it (anti-join, ≙ extract.py:158-159 / 286-289). Disjointness-guarded
+  * type assertions are handled in [[Disjointness]].
+  *
+  * Shuffle shape: two groupBys keyed by (url, listing_key[, value]) — the
+  * listing key inherits the page-level balance; no global hot keys. The
+  * seed-type/relation joins are dimension joins (taxonomy ≤ 10^6 rows →
+  * broadcast at scale).
+  */
+object RuleMining {
+
+  val MinShare = 0.75
+  val MinSupport = 2
+
+  /** subjects(url, listing_key, ent) distinct × seedTypes(ent, tpe) →
+    * listing-level type rules (url, listing_key, tpe). */
+  def listingTypeRules(subjects: DataFrame, seedTypes: DataFrame): DataFrame = {
+    val linked = subjects.select("url", "listing_key", "ent").distinct()
+      .join(seedTypes, "ent")
+    val totals = linked.groupBy("url", "listing_key")
+      .agg(countDistinct("ent").as("total"))
+    val cnts = linked.groupBy("url", "listing_key", "tpe")
+      .agg(countDistinct("ent").as("cnt"))
+    val w = Window.partitionBy("url", "listing_key")
+      .orderBy(col("cnt").desc, col("tpe").asc)
+    cnts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(totals, Seq("url", "listing_key"))
+      .filter(col("cnt") >= MinSupport &&
+              col("cnt") / col("total") >= MinShare)
+      .select("url", "listing_key", "tpe")
+  }
+
+  /** Same shape for (pred, obj) relations: majority object per (listing,
+    * pred) with share/support thresholds (≙ extract.py:206-258). */
+  def listingRelationRules(subjects: DataFrame, seedRels: DataFrame): DataFrame = {
+    val linked = subjects.select("url", "listing_key", "ent").distinct()
+      .join(seedRels.select(col("sub").as("ent"), col("pred"), col("obj")), "ent")
+    val totals = linked.groupBy("url", "listing_key", "pred")
+      .agg(countDistinct("ent").as("total"))
+    val cnts = linked.groupBy("url", "listing_key", "pred", "obj")
+      .agg(countDistinct("ent").as("cnt"))
+    val w = Window.partitionBy("url", "listing_key", "pred")
+      .orderBy(col("cnt").desc, col("obj").asc)
+    cnts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(totals, Seq("url", "listing_key", "pred"))
+      .filter(col("cnt") >= MinSupport &&
+              col("cnt") / col("total") >= MinShare)
+      .select("url", "listing_key", "pred", "obj")
+  }
+
+  /** The reference's bespoke two-level pattern statistics with ZERO-FILLING
+    * (`extract.py:90-139`, micro_std at 135-138): per pattern (listing_key
+    * across pages):
+    *   micro_mean = sum(hits)/sum(total)  over all pages
+    *   macro_mean = mean(per-page conf)
+    *   micro_std  = mean ABSOLUTE deviation of per-page conf from
+    *                micro_mean, where pages carrying the pattern but no hits
+    *                enter as conf=0 (the zero-fill — omitting them is the
+    *                subtle bug SURVEY.md §7.5 #4 warns about).
+    * Input: perPage(pattern, url, hits, total). */
+  def patternStats(perPage: DataFrame): DataFrame = {
+    val conf = perPage.withColumn("conf",
+      coalesce(col("hits"), lit(0L)) / col("total"))
+    val micro = conf.groupBy("pattern")
+      .agg((sum(coalesce(col("hits"), lit(0L))) / sum("total")).as("micro_mean"),
+           avg("conf").as("macro_mean"),
+           count(lit(1)).as("page_count"))
+    conf.join(micro, "pattern")
+      .groupBy("pattern")
+      .agg(first("micro_mean").as("micro_mean"),
+           first("macro_mean").as("macro_mean"),
+           avg(abs(col("conf") - col("micro_mean"))).as("micro_std"),
+           first("page_count").as("page_count"))
+  }
+}

@@ -1,0 +1,204 @@
+package graft.testkit
+
+import java.sql.Timestamp
+import graft.core.Schemas._
+
+/** Deterministic synthetic web-page corpus for the KG-construction pipeline
+  * (FIXTURES.md §1-§6). Everything is index-arithmetic — no RNG — so the
+  * expected triple set is computable by construction and the corpus is
+  * byte-identical across runs and parallelism levels.
+  *
+  * World model (mirrors the reference's semantics at miniature scale):
+  *  - taxonomy: Thing > {Person, Place, Work}; Person > {Scientist, Artist};
+  *    Place > {City, Country}; Work > {Film, Book} (≙ DBpedia ontology,
+  *    `/root/reference/impl/dbpedia/ontology.py:62-86`)
+  *  - disjointness: Person⊥Place, Person⊥Work, Place⊥Work
+  *    (≙ `/root/reference/impl/dbpedia/heuristics.py:80-114`)
+  *  - per (leaf type, country): one enum list page + one table page, each
+  *    listing the same members: `knownPerListing` known entities, 2 unknown
+  *    labels (→ NIL; the SAME labels on both pages so connected-components
+  *    canonicalization must merge them across pages), and 1 noise item
+  *    linking a known entity of a DISJOINT type (so the mined type assertion
+  *    must be dropped by the disjointness guard).
+  *  - one ambiguous alias ("Ada Prime") shared by two scientists with
+  *    asymmetric prior (0.7/0.3) — exercises best-candidate selection; it is
+  *    also the planted head-entity skew key (is_hot) for salted joins.
+  *  - ~10% non-en pages (must be filtered) and meta sections ("See also")
+  *    whose links must NOT become mentions.
+  */
+object CorpusGen {
+
+  case class World(nCountries: Int = 4, knownPerListing: Int = 6) {
+    val leafTypes = Seq("Scientist", "Artist", "Film", "Book")
+    val parentOf = Map(
+      "Scientist" -> "Person", "Artist" -> "Person",
+      "City" -> "Place", "Country" -> "Place",
+      "Film" -> "Work", "Book" -> "Work",
+      "Person" -> "Thing", "Place" -> "Thing", "Work" -> "Thing")
+    val disjoint = Seq(("Person", "Place"), ("Person", "Work"),
+                       ("Place", "Work"))
+
+    def countryName(k: Int) = s"Country $k"
+    def entName(t: String, k: Int, j: Int) = s"$t ${k * 100 + j}"
+    def unknownLabel(t: String, k: Int, j: Int) = s"Mystery $t $k $j"
+    /** the disjoint-type noise entity planted into (t, k)'s listings */
+    def noiseFor(t: String): String =
+      if (t == "Scientist" || t == "Artist") "Film" else "Scientist"
+
+    // — seed KG (≙ DBpedia instance types / relations) —
+
+    def taxonomyEdges: Seq[TypeEdge] =
+      parentOf.toSeq.sorted.map { case (c, p) => TypeEdge(c, p) }
+
+    def disjointPairs: Seq[(String, String)] =
+      disjoint ++ disjoint.map(_.swap)
+
+    def entityTypes: Seq[EntityType] = {
+      val countries = (0 until nCountries)
+        .map(k => EntityType(countryName(k), "Country"))
+      val ents = for {
+        t <- leafTypes; k <- 0 until nCountries; j <- 0 until knownPerListing
+      } yield EntityType(entName(t, k, j), t)
+      val ada = Seq(EntityType("Ada Prime A", "Scientist"),
+                    EntityType("Ada Prime B", "Scientist"))
+      countries ++ ents ++ ada
+    }
+
+    /** seed (sub, pred, obj) object relations: every known entity is
+      * locatedIn its country. */
+    def seedRelations: Seq[(String, String, String)] =
+      (for {
+        t <- leafTypes; k <- 0 until nCountries; j <- 0 until knownPerListing
+      } yield (entName(t, k, j), Preds.LocatedIn, countryName(k))) ++
+        Seq(("Ada Prime A", Preds.LocatedIn, countryName(0)),
+            ("Ada Prime B", Preds.LocatedIn, countryName(1)))
+
+    /** alias dictionary: every entity name with prior 1.0, plus the
+      * ambiguous hot alias "Ada Prime" → {A: 0.7, B: 0.3}. */
+    def aliases: Seq[(String, String, Double, Boolean)] =
+      entityTypes.map(e => (e.ent, e.ent, 1.0, false)) ++
+        Seq(("Ada Prime", "Ada Prime A", 0.7, true),
+            ("Ada Prime", "Ada Prime B", 0.3, true))
+
+    // — pages —
+
+    /** listing members of (t, k): (wikilink label, isSubjectItem) */
+    def members(t: String, k: Int): Seq[String] = {
+      val known = (0 until knownPerListing).map(j => entName(t, k, j))
+      val unknown = (0 until 2).map(j => unknownLabel(t, k, j))
+      val noise = Seq(entName(noiseFor(t), (k + 1) % nCountries, 0))
+      known ++ unknown ++ noise
+    }
+
+    private def enumBody(t: String, k: Int): String = {
+      val items = members(t, k)
+        .map(m => s"* [[$m]] — listed member, R&D note.")
+      (Seq(s"== Overview ==",
+           s"This page lists every $t of ${countryName(k)}.",
+           s"== Members ==") ++ items ++
+       Seq("== See also ==",
+           s"* [[${countryName(k)}]]",
+           s"* [[${countryName((k + 1) % nCountries)}]]",
+           s"* [[Ada Prime]]")).mkString("\n")
+    }
+
+    private def tableBody(t: String, k: Int): String = {
+      val rows = members(t, k).flatMap(m => Seq("|-", s"| [[$m]] || note"))
+      (Seq(s"== Overview ==",
+           s"A table of each $t of ${countryName(k)}.",
+           s"== Table ==", "{|") ++ rows ++ Seq("|}")).mkString("\n")
+    }
+
+    /** the one page exercising ambiguous-alias linking */
+    private def adaBody: String =
+      (Seq("== Overview ==", "Famous people called Ada.",
+           "== People ==",
+           "* [[Ada Prime]] — the famous one.",
+           "* [[Ada Prime A]] — pioneer.",
+           "* [[Ada Prime B]] — the other one.")).mkString("\n")
+
+    private def escapeHtml(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    def htmlFor(text: String): Array[Byte] =
+      s"<html><body><pre>${escapeHtml(text)}</pre></body></html>"
+        .getBytes("UTF-8")
+
+    private val t0 = 1700000000000L
+
+    def pages: Seq[Page] = {
+      val listPages = for {
+        (t, ti) <- leafTypes.zipWithIndex
+        k <- 0 until nCountries
+        (kind, body) <- Seq("list" -> enumBody(t, k),
+                            "table" -> tableBody(t, k))
+      } yield {
+        val slug = s"$kind-of-${t.toLowerCase}s-of-country-$k"
+        val idx = ti * nCountries * 2 + k * 2 + (if (kind == "list") 0 else 1)
+        Page(s"https://example.org/$slug", new Timestamp(t0 + idx * 60000L),
+             htmlFor(body), body, "en")
+      }
+      val ada = Page("https://example.org/people-called-ada",
+                     new Timestamp(t0 - 60000L), htmlFor(adaBody), adaBody, "en")
+      // non-en pages with UNIQUE unknown labels: if the lang filter breaks,
+      // these leak extra `new:geheim...` triples and precision drops.
+      val nonEn = (0 until math.max(1, nCountries / 2)).map { k =>
+        val t = leafTypes(k % leafTypes.size)
+        val items = ((0 until knownPerListing)
+          .map(j => entName(t, k, j)) ++ Seq(s"Geheim $k 0", s"Geheim $k 1"))
+          .map(m => s"* [[$m]] — Eintrag.")
+        val body = (Seq("== Liste ==") ++ items).mkString("\n")
+        Page(s"https://example.org/de-liste-$k", new Timestamp(t0 + 999999L + k),
+             htmlFor(body), body, "de")
+      }
+      listPages ++ Seq(ada) ++ nonEn
+    }
+
+    // — expected pipeline output (computed from the same parameters) —
+
+    private def key(s: String) = graft.core.Normalize.AliasKeyExpr.key(s)
+    private def newEnt(label: String) = s"new:${key(label)}"
+    private def ancestors(t: String): Seq[String] =
+      Iterator.iterate(Option(t))(o => o.flatMap(parentOf.get))
+        .takeWhile(_.isDefined).flatten.toSeq.drop(1) // exclude t itself
+
+    /** The exact triple set a correct pipeline must emit. */
+    def expectedTriples: Seq[Triple] = {
+      val out = scala.collection.mutable.LinkedHashSet[Triple]()
+      for (t <- leafTypes; k <- 0 until nCountries) {
+        val ms = members(t, k)
+        val known = ms.filter(m => m.startsWith(t + " "))
+        val unknowns = ms.filter(_.startsWith("Mystery"))
+        val noise = ms.filterNot(known.contains).filterNot(unknowns.contains)
+        // labels: every linked/new subject entity gets its majority label
+        known.foreach(m => out += Triple(m, Preds.Label, m, true))
+        noise.foreach(m => out += Triple(m, Preds.Label, m, true))
+        unknowns.foreach(m => out += Triple(newEnt(m), Preds.Label, m, true))
+        // type rule: majority type t share = known/(known+noise) >= 0.75 →
+        // assert t to members lacking it; disjoint-guard kills the noise
+        // entity's assertion; new entities get t + transitive ancestors.
+        unknowns.foreach { m =>
+          out += Triple(newEnt(m), Preds.Type, t, false)
+          ancestors(t).foreach(a => out += Triple(newEnt(m), Preds.Type, a, false))
+        }
+        // relation rule: locatedIn country k share >= 0.75 → assert to
+        // members lacking it: unknowns and the noise entity.
+        val c = countryName(k)
+        unknowns.foreach(m => out += Triple(newEnt(m), Preds.LocatedIn, c, false))
+        noise.foreach(m => out += Triple(m, Preds.LocatedIn, c, false))
+      }
+      // the Ada page: listing has 3 items, all linked (no unknowns);
+      // "Ada Prime" resolves to the higher-prior entity A. Linked types:
+      // {A:Scientist, A:Scientist, B:Scientist} → type rule fires but both
+      // already have Scientist → nothing new; relation rule: A:c0,A:c0,B:c1 →
+      // majority share 2/3 < 0.75 → no relation. Labels: majority label per
+      // entity — A has mentions "Ada Prime" + "Ada Prime A" (tie → lexical
+      // min), B has "Ada Prime B".
+      out += Triple("Ada Prime A", Preds.Label, "Ada Prime", true)
+      out += Triple("Ada Prime B", Preds.Label, "Ada Prime B", true)
+      out.toSeq
+    }
+  }
+
+  val default: World = World()
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.testkit.CorpusGen
+
+/** Resumability (north rule): kill-and-resume re-executes only missing
+  * stages and yields an identical final snapshot; lineage records both. */
+class ResumeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val world = CorpusGen.default
+  private def seeds = Pipeline.Seeds(
+    aliases = world.aliases.toDF("alias", "ent", "freq", "is_hot"),
+    entityTypes = world.entityTypes.toDS().toDF("ent", "tpe"),
+    taxonomyEdges = world.taxonomyEdges.toDS().toDF(),
+    disjointPairs = world.disjointPairs.toDF("type_a", "type_b"),
+    seedRelations = world.seedRelations.toDF("sub", "pred", "obj"))
+
+  test("resume after simulated mid-pipeline kill reproduces the snapshot") {
+    val outDir = SparkSuite.tempDir("graft-resume")
+    val pagesDf = world.pages.toDS().toDF()
+    val first = Pipeline.run(spark, pagesDf, seeds, outDir, runId = "run-1")
+      .select("subj", "pred", "obj").as[(String, String, String)]
+      .collect().sorted
+
+    // simulate a crash that lost the late stages
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rm); p.delete()
+    }
+    Seq("types", "relations", "triples").foreach(s =>
+      rm(new java.io.File(s"$outDir/$s")))
+
+    val second = Pipeline.run(spark, pagesDf, seeds, outDir, runId = "run-2")
+      .select("subj", "pred", "obj").as[(String, String, String)]
+      .collect().sorted
+    assert(first.sameElements(second))
+
+    // lineage: run-2 must have SKIPPED the early stages and RE-RUN the rest
+    val lin = spark.read.parquet(s"$outDir/_lineage")
+      .filter(col("run_id") === "run-2")
+      .select("stage", "resumed").as[(String, Boolean)].collect().toMap
+    assert(lin("pages_text") && lin("mentions") && lin("linked"),
+           s"early stages should resume: $lin")
+    assert(!lin("types") && !lin("relations") && !lin("triples"),
+           s"late stages should re-run: $lin")
+  }
+
+  test("per-partition lineage rows exist for the triple table") {
+    val outDir = SparkSuite.tempDir("graft-lin")
+    Pipeline.run(spark, world.pages.toDS().toDF(), seeds, outDir)
+    val parts = spark.read.parquet(s"$outDir/_lineage")
+      .filter(col("stage").startsWith("triples/pred="))
+      .select("stage").as[String].collect()
+    assert(parts.length >= 3, s"per-pred lineage missing: ${parts.toSeq}")
+  }
+}
