@@ -55,10 +55,13 @@ object ConnectedComponents {
 
   /** For each node u: m = min(N(u) ∪ {u}); link every neighbor v > u to m.
     * Window-min instead of groupBy+collect keeps per-group state O(1) even
-    * for web-scale hub nodes (no collect_list blowup on hot aliases). */
+    * for web-scale hub nodes (no collect_list blowup on hot aliases).
+    * No pre-distinct: duplicate input edges cannot change the window min,
+    * and the single post-distinct dedups the output — one shuffle saved
+    * per round. */
   private def largeStar(e: DataFrame): DataFrame = {
     val bidir = e.unionByName(
-      e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      e.select(col("dst").as("src"), col("src").as("dst")))
     val w = Window.partitionBy("src")
     bidir
       .withColumn("m", least(min("dst").over(w), col("src")))
@@ -68,11 +71,11 @@ object ConnectedComponents {
   }
 
   /** Orient edges high→low; for each node u: m = min smaller-neighbor; link
-    * u and all its smaller neighbors to m. */
+    * u and all its smaller neighbors to m. Same one-distinct discipline. */
   private def smallStar(e: DataFrame): DataFrame = {
     val oriented = e.select(
       greatest(col("src"), col("dst")).as("src"),
-      least(col("src"), col("dst")).as("dst")).distinct()
+      least(col("src"), col("dst")).as("dst"))
     val w = Window.partitionBy("src")
     val withMin = oriented.withColumn("m", min("dst").over(w))
     withMin.select(col("dst").as("src"), col("m").as("dst"))

@@ -35,39 +35,75 @@ object AliasLink {
     aliases.select(Normalize.aliasKey(col("alias")).as("key"),
                    col("ent"), col("freq"), col("is_hot"))
 
+  /** W2 best-candidate reduction: with a frequency-prior scorer, the argmax
+    * per MENTION equals the argmax per KEY — so the window runs on the
+    * dictionary side (taxonomy-sized) BEFORE the join, and the corpus side
+    * never shuffles for candidate selection at all. A context-dependent
+    * scorer (cross-encoder-style) would move this window to the mention
+    * side; that is the only structural change needed. */
+  def bestPerKey(dict: DataFrame): DataFrame = {
+    val w = Window.partitionBy("key")
+      .orderBy(col("freq").desc, col("ent").asc)
+    dict.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("key", "ent", "is_hot")
+  }
+
   /** mentions(..., label) × dict → linked(..., ent) + unlinked(..., key).
-    * Returns (linked, unlinked). */
+    * Returns (linked, unlinked).
+    *
+    * Hot path: ONE broadcast-hash join against the per-key-reduced
+    * dictionary — the corpus side is read once and never shuffles (a
+    * left_outer join splits linked/unlinked without a second scan of the
+    * mention subtree). Head-entity skew is a non-event under broadcast
+    * (no partitioning by key exists to skew); [[linkShuffle]] is the salted
+    * fallback for dictionaries beyond the broadcast threshold and is tested
+    * result-identical. */
   def link(mentions: DataFrame, dict: DataFrame): (DataFrame, DataFrame) = {
     val keyed = mentions.withColumn("key", Normalize.aliasKey(col("label")))
+    val best = bestPerKey(dict).drop("is_hot")
+    val joined = keyed.join(broadcast(best), Seq("key"), "left_outer")
+    val cols = Seq("url", "listing_key", "item_idx", "mention_id", "label",
+                   "key")
+    val linked = joined.filter(col("ent").isNotNull)
+      .select((cols :+ "ent").map(col): _*)
+    val unlinked = joined.filter(col("ent").isNull)
+      .select(cols.map(col): _*)
+    (linked, unlinked)
+  }
 
-    val hotDict = dict.filter(col("is_hot"))
+  /** Shuffle-join fallback for alias dictionaries too large to broadcast
+    * (10^9-surface-form scale): the mention side is shuffled BY KEY, which
+    * skews on head entities ("usa"-class aliases) — so hot keys are SALTED:
+    * the mention side salts with pmod(xxhash64(mention_id), S) and the hot
+    * slice of the dictionary is replicated S ways, bounding any task at
+    * ~1/S of the hottest key. Results are identical to [[link]] — the salt
+    * derives from the row id, never from data order. */
+  def linkShuffle(mentions: DataFrame, dict: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = mentions.withColumn("key", Normalize.aliasKey(col("label")))
+    val best = bestPerKey(dict)
+    val hotDict = best.filter(col("is_hot")).drop("is_hot")
       .withColumn("salt", explode(sequence(lit(0), lit(Salt - 1))))
-    val coldDict = dict.filter(!col("is_hot"))
+    val coldDict = best.filter(!col("is_hot")).drop("is_hot")
+    val hotKeys = hotDict.select("key").distinct()
 
-    val salted = keyed.withColumn("salt",
-      pmod(xxhash64(col("mention_id")), lit(Salt)).cast("int"))
-
-    val hotJoined = salted
-      .join(broadcast(hotDict), Seq("key", "salt"))
-    val coldJoined = keyed
-      .join(broadcast(coldDict.drop("is_hot")), Seq("key"))
-
-    val candidates = hotJoined.drop("salt", "is_hot")
-      .unionByName(coldJoined)
-
-    // W2: best candidate per mention — deterministic total order
-    val w = Window.partitionBy("mention_id")
-      .orderBy(col("freq").desc, col("ent").asc)
-    val linked = candidates
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("url", "listing_key", "item_idx", "mention_id", "label",
-              "key", "ent")
-
-    val unlinked = keyed.join(linked.select("mention_id"),
-                              Seq("mention_id"), "left_anti")
-      .select("url", "listing_key", "item_idx", "mention_id", "label", "key")
-
+    val salted = keyed
+      .withColumn("salt",
+        pmod(xxhash64(col("mention_id")), lit(Salt)).cast("int"))
+    val cols = Seq("url", "listing_key", "item_idx", "mention_id", "label",
+                   "key")
+    // hot mentions → salted join; cold mentions → plain key join
+    val hotLinked = salted.join(hotKeys.hint("broadcast"), Seq("key"))
+      .join(hotDict, Seq("key", "salt"))
+      .select((cols :+ "ent").map(col): _*)
+    val coldLinked = keyed
+      .join(hotKeys.hint("broadcast"), Seq("key"), "left_anti")
+      .join(coldDict, Seq("key"))
+      .select((cols :+ "ent").map(col): _*)
+    val linked = hotLinked.unionByName(coldLinked)
+    val unlinked = keyed
+      .join(best.select("key").hint("broadcast"), Seq("key"), "left_anti")
+      .select(cols.map(col): _*)
     (linked, unlinked)
   }
 }

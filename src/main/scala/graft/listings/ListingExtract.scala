@@ -23,8 +23,67 @@ object ListingExtract {
   val MetaSections: Seq[String] =
     Seq("See also", "References", "External links", "Notes")
 
-  /** (url, text) → mentions(url, listing_key, item_idx, mention_id, label) */
+  case class MentionRow(url: String, listing_key: String, item_idx: Int,
+                        mention_id: String, label: String)
+
+  private val wikilink = java.util.regex.Pattern.compile("\\[\\[([^\\]|]+)")
+  private val header = java.util.regex.Pattern.compile("^== (.*) ==$")
+  private val allDigits = java.util.regex.Pattern.compile("^[0-9]+$")
+
+  /** Page-local parse: one page's listing state never crosses the row
+    * boundary, so the whole extraction is a flatMap — ZERO shuffle, perfect
+    * row-parallelism (the property that makes extraction scale linearly to
+    * 10^12 docs; ≙ the reference's per-page mp.Pool fan-out,
+    * `/root/reference/impl/wikipedia/page_parser.py:186-195`). Pure
+    * function of (url, text): no RNG, no partition-order dependence. */
+  def parsePage(url: String, text: String): Seq[MentionRow] = {
+    var section = ""
+    var depth = 0
+    // (kind, section) -> items in order
+    val listings = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    text.split("\n", -1).foreach { line =>
+      val h = header.matcher(line)
+      if (h.matches()) section = h.group(1)
+      else if (line == "{|") depth += 1
+      else if (line == "|}") depth -= 1
+      else if (!MetaSections.contains(section)) {
+        if (line.startsWith("* ") && depth == 0)
+          listings.getOrElseUpdate(s"enum:$section",
+            scala.collection.mutable.ArrayBuffer.empty) += line.substring(2)
+        else if (line.startsWith("| ") && depth == 1)
+          listings.getOrElseUpdate(s"table:$section",
+            scala.collection.mutable.ArrayBuffer.empty) +=
+              line.substring(2).split(" \\|\\| ", 2)(0)
+      }
+    }
+    listings.iterator.flatMap { case (key, items) =>
+      if (items.size < 3) Iterator.empty // F2 usefulness
+      else items.iterator.zipWithIndex.flatMap { case (item, i) =>
+        val m = wikilink.matcher(item)
+        val label = if (m.find()) m.group(1) else ""
+        if (label.length > 2 && !allDigits.matcher(label).matches()) // F8
+          Iterator.single(MentionRow(url, key, i + 1, s"$url#$key#${i + 1}",
+                                     label))
+        else Iterator.empty
+      }
+    }.toSeq
+  }
+
+  /** (url, text) → mentions — the pipeline's hot path (flatMap form). */
   def mentions(pagesText: DataFrame): DataFrame = {
+    val spark = pagesText.sparkSession
+    import spark.implicits._
+    pagesText.select("url", "text").as[(String, String)]
+      .flatMap { case (url, text) => parsePage(url, text) }
+      .toDF()
+  }
+
+  /** Relational (window-based) form of the same semantics — kept as the
+    * cross-checked reference implementation: same output as [[mentions]]
+    * (asserted in ListingSpec), but pays one url-keyed shuffle for the
+    * window state, which the flatMap form avoids entirely. */
+  def mentionsRelational(pagesText: DataFrame): DataFrame = {
     val lines = pagesText.select(
       col("url"), posexplode(split(col("text"), "\n")).as(Seq("line_idx", "line")))
 

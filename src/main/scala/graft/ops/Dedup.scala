@@ -32,6 +32,12 @@ object Dedup {
   val NumHashes = 8
   val BandRows = 2 // => 4 bands
 
+  /** Hot-bucket cut: an LSH band bucket holding more than MaxBucket docs is
+    * a degenerate hash collision (low-entropy corpora collide entire band
+    * buckets), not a near-dup signal — analogous to the rare-shingle df-cut.
+    * Candidate pairs are generated only inside buckets <= MaxBucket. */
+  val MaxBucket = 20
+
   // — shared shingling (word 3-grams, distinct per doc) —
 
   private def toksCol: Column = split(col("text"), " ")
@@ -66,38 +72,66 @@ object Dedup {
     """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
        count(*) AS dup_count FROM documents GROUP BY text"""
 
-  /** n-gram Jaccard near-dup: shingle self-join (df-cut maxDf=100) →
-    * common-shingle counts → Jaccard >= 0.5. Output (a, b, jac). */
+  /** Max document frequency for a shingle to act as a BLOCKING key: real
+    * near-dups share shingles (almost) unique to the pair, so candidate
+    * generation joins only on shingles present in <= RareDf docs — the
+    * rare-token-blocking trick that keeps candidate pairs ~linear while a
+    * raw shingle self-join is Σ df² (quadratic in hot shingles). */
+  val RareDf = 10
+
+  /** n-gram Jaccard near-dup, rare-shingle blocked:
+    * candidates = pairs sharing a rare shingle; verification = EXACT Jaccard
+    * over the full shingle sets via array_intersect (per-doc sets are
+    * bounded by doc length, so the collect is O(doc), never O(corpus)).
+    * Output (a, b, jac) with jac >= 0.5. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
-    // df-cut: drop shingles appearing in >100 docs (hot-key bound)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 100).select("shingle")
+      .filter(col("df") <= RareDf).select("shingle")
     val shr = sh.join(rare, "shingle")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = shr.select(col("doc_id").as("a"), col("shingle"))
+    val cand = shr.select(col("doc_id").as("a"), col("shingle"))
       .join(shr.select(col("doc_id").as("b"), col("shingle")), "shingle")
       .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select("a", "b").distinct()
+    verifyJaccard(cand, sh)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against full shingle
+    * sets (sort_array for deterministic layout; intersection size is
+    * set-semantic so order only matters for reproducibility of plans). */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_set("shingle")).as("shs"))
+      .withColumn("n", size(col("shs")))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("shs").as("sa"),
+                        col("n").as("na")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shs").as("sb"),
+                        col("n").as("nb")), "b")
+      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= 0.5)
       .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
   }
 
+  private val verifySqlTail: String =
+    """sets AS (SELECT doc_id, list(DISTINCT shingle) AS shs,
+                count(DISTINCT shingle) AS n FROM sh GROUP BY 1)
+       SELECT a, b, round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+         / (sa.n + sb.n - len(list_intersect(sa.shs, sb.shs))), 6) AS jac
+       FROM cand JOIN sets sa ON cand.a=sa.doc_id
+                 JOIN sets sb ON cand.b=sb.doc_id
+       WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+         / (sa.n + sb.n - len(list_intersect(sa.shs, sb.shs))) >= 0.5"""
+
   val ngramJaccardSql: String =
     s"""WITH sh AS ($shinglesSql),
-        rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100),
+        rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= $RareDf),
         shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        cm AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-               FROM shr x JOIN shr y ON x.shingle=y.shingle AND x.doc_id<y.doc_id
-               GROUP BY 1,2)
-        SELECT a, b, round(CAST(c AS DOUBLE)/(sa.n+sb.n-c), 6) AS jac
-        FROM cm JOIN sizes sa ON cm.a=sa.doc_id JOIN sizes sb ON cm.b=sb.doc_id
-        WHERE CAST(c AS DOUBLE)/(sa.n+sb.n-c) >= 0.5"""
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                 FROM shr x JOIN shr y
+                   ON x.shingle=y.shingle AND x.doc_id<y.doc_id),
+        $verifySqlTail"""
 
   /** Deterministic shingle ids: dense ranks over the sorted distinct shingle
     * domain. Oracle-checkable (identical in SQL); the global sort is the
@@ -128,23 +162,15 @@ object Dedup {
       // deterministic bucket key: minhashes concatenated in k order
       .agg(concat_ws(",", sort_array(collect_list(
         concat_ws(":", col("k"), col("mh"))))).as("bucket"))
-    val cand = bands.select(col("doc_id").as("a"), col("band"), col("bucket"))
-      .join(bands.select(col("doc_id").as("b"), col("band"), col("bucket")),
+    val small = bands.withColumn("bsize",
+      count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsize") <= MaxBucket)
+    val cand = small.select(col("doc_id").as("a"), col("band"), col("bucket"))
+      .join(small.select(col("doc_id").as("b"), col("band"), col("bucket")),
             Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    // verification with true Jaccard
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.select(col("doc_id").as("a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("b"), col("shingle")), "shingle")
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
-    cand.join(common, Seq("a", "b"))
-      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-      .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
-      .filter(col("jac") >= 0.5)
-      .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+    verifyJaccard(cand, sh) // exact-Jaccard verification of LSH candidates
   }
 
   val minhashLshSql: String = {
@@ -160,17 +186,13 @@ object Dedup {
           SELECT doc_id, CAST(k/$BandRows AS INT) AS band,
             string_agg(k || ':' || mh, ',' ORDER BY k || ':' || mh) AS bucket
           FROM mh GROUP BY 1,2),
+        small AS (SELECT * FROM (SELECT *,
+            count(*) OVER (PARTITION BY band, bucket) AS bsize FROM bands)
+          WHERE bsize <= $MaxBucket),
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                 FROM bands x JOIN bands y
+                 FROM small x JOIN small y
                    ON x.band=y.band AND x.bucket=y.bucket AND x.doc_id<y.doc_id),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        cm AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-               FROM sh x JOIN sh y ON x.shingle=y.shingle AND x.doc_id<y.doc_id
-               GROUP BY 1,2)
-        SELECT cand.a, cand.b, round(CAST(c AS DOUBLE)/(sa.n+sb.n-c),6) AS jac
-        FROM cand JOIN cm ON cand.a=cm.a AND cand.b=cm.b
-        JOIN sizes sa ON cand.a=sa.doc_id JOIN sizes sb ON cand.b=sb.doc_id
-        WHERE CAST(c AS DOUBLE)/(sa.n+sb.n-c) >= 0.5"""
+        $verifySqlTail"""
   }
 
   /** MinHash+LSH scale path: xxhash64 shingle hashing (no global sort, no
@@ -191,8 +213,11 @@ object Dedup {
       .groupBy("doc_id", "band")
       .agg(concat_ws(",", sort_array(collect_list(
         concat_ws(":", col("k"), col("mh"))))).as("bucket"))
-    bands.select(col("doc_id").as("a"), col("band"), col("bucket"))
-      .join(bands.select(col("doc_id").as("b"), col("band"), col("bucket")),
+    val small = bands.withColumn("bsize",
+      count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsize") <= MaxBucket)
+    small.select(col("doc_id").as("a"), col("band"), col("bucket"))
+      .join(small.select(col("doc_id").as("b"), col("band"), col("bucket")),
             Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()

@@ -51,18 +51,31 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
            round(sum("o_totalprice"), 4).as("revenue"))
 
-  /** J2 spelling-redirect resolution (resource.py:290-305): self-join guarded
-    * by levenshtein<=2 (built-in, codegen'd). Equi-prefilter on an 8-char
-    * prefix turns the O(n^2) theta-join into a key-partitioned join — the
-    * same trick scales to 10^9 names where a raw cross join cannot. */
+  /** J2 spelling-redirect resolution (resource.py:290-305): self-join on an
+    * 8-char prefix block guarded by levenshtein<=2 (built-in, codegen'd).
+    *
+    * Skew handling: with near-sequential names one prefix block holds the
+    * whole table, so a naive equi-join runs the entire O(g²) comparison in
+    * ONE task. The self-join is triangle-SALTED instead: each side is
+    * replicated s ways keyed by (block, salt_a, salt_b), so every pair lands
+    * in exactly one of s² balanced tasks. Same result set (salting is
+    * physical, the DuckDB oracle is the unsalted semantics), wall-clock
+    * drops by ~min(s², cores). */
   def levenshteinPairs(s: SparkSession, d: String): DataFrame = {
-    val a = Tables.supplier(s, d).select(col("s_suppkey").as("a_key"),
-                                         col("s_name").as("a_name"))
-    val b = Tables.supplier(s, d).select(col("s_suppkey").as("b_key"),
-                                         col("s_name").as("b_name"))
-    a.join(b, substring(col("a_name"), 1, 8) === substring(col("b_name"), 1, 8) &&
-              col("a_key") < col("b_key"))
-      .filter(levenshtein(col("a_name"), col("b_name")) <= 2)
+    val S = 8
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("key"), col("s_name").as("name"),
+              substring(col("s_name"), 1, 8).as("block"),
+              pmod(xxhash64(col("s_suppkey")), lit(S)).cast("int").as("salt"))
+    val a = sup.select(col("key").as("a_key"), col("name").as("a_name"),
+                       col("block"), col("salt").as("salt_a"))
+      .withColumn("salt_b", explode(sequence(lit(0), lit(S - 1))))
+    val b = sup.select(col("key").as("b_key"), col("name").as("b_name"),
+                       col("block"), col("salt").as("salt_b"))
+      .withColumn("salt_a", explode(sequence(lit(0), lit(S - 1))))
+    a.join(b, Seq("block", "salt_a", "salt_b"))
+      .filter(col("a_key") < col("b_key") &&
+              levenshtein(col("a_name"), col("b_name")) <= 2)
       .select("a_key", "b_key")
   }
 

@@ -1,0 +1,26 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object ExplainTest {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.core.Normalize.register(spark)
+    import spark.implicits._
+    val world = graft.testkit.CorpusGen.default
+    val pages = spark.createDataset(world.pages).toDF()
+    val seeds = graft.Pipeline.Seeds(
+      world.aliases.toDF("alias", "ent", "freq", "is_hot"),
+      world.entityTypes.toDS().toDF("ent", "tpe"),
+      world.taxonomyEdges.toDS().toDF(),
+      world.disjointPairs.toDF("type_a", "type_b"),
+      world.seedRelations.toDF("sub", "pred", "obj"))
+    val text = graft.ingest.TextExtract.extract(pages)
+    val mentions = graft.listings.ListingExtract.mentions(text)
+    val dict = graft.link.AliasLink.buildDict(seeds.aliases)
+    val (linked, _) = graft.link.AliasLink.link(mentions, dict)
+    linked.explain("formatted")
+  }
+}

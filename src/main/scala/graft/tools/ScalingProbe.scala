@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-JVM-one-level scaling probe: args = cpus pagesPath [repeats]. */
+object ScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val pagesPath = args(1)
+    val repeats = if (args.length > 2) args(2).toInt else 2
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.core.Normalize.register(spark)
+    import spark.implicits._
+    val world = graft.testkit.CorpusGen.World(nCountries = 250,
+                                              knownPerListing = 12)
+    val seeds = graft.Pipeline.Seeds(
+      world.aliases.toDF("alias", "ent", "freq", "is_hot"),
+      world.entityTypes.toDS().toDF("ent", "tpe"),
+      world.taxonomyEdges.toDS().toDF(),
+      world.disjointPairs.toDF("type_a", "type_b"),
+      world.seedRelations.toDF("sub", "pred", "obj"))
+    def job(): Long = {
+      val pages = spark.read.parquet(pagesPath)
+      val text = graft.ingest.TextExtract.extract(pages)
+      val mentions = graft.listings.ListingExtract.mentions(text)
+      val dict = graft.link.AliasLink.buildDict(seeds.aliases)
+      graft.link.AliasLink.link(mentions, dict)._1.count()
+    }
+    val n = spark.read.parquet(pagesPath).count()
+    job() // warm-up
+    val times = (1 to repeats).map { _ =>
+      val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
+    }
+    println(s"SCALING cpus=$cpus pages=$n times=${times.mkString(",")} " +
+            s"best_pages_per_s=${n / times.min}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.link.AliasLink
+import graft.testkit.CorpusGen
+
+/** The salted shuffle-join fallback must produce exactly the broadcast
+  * path's results (salting is physical, never semantic), and ambiguous
+  * aliases must resolve to the highest-prior entity deterministically. */
+class LinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val world = CorpusGen.default
+  private lazy val mentions = graft.listings.ListingExtract.mentions(
+    graft.ingest.TextExtract.extract(world.pages.toDS().toDF()))
+  private lazy val dict = AliasLink.buildDict(
+    world.aliases.toDF("alias", "ent", "freq", "is_hot"))
+
+  test("salted shuffle join == broadcast join (linked and unlinked)") {
+    val (bl, bu) = AliasLink.link(mentions, dict)
+    val (sl, su) = AliasLink.linkShuffle(mentions, dict)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("mention_id", "label").as[(String, String)].collect().sorted
+    def linkedRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("mention_id", "ent").as[(String, String)].collect().sorted
+    assert(linkedRows(bl).sameElements(linkedRows(sl)))
+    assert(rows(bu).sameElements(rows(su)))
+  }
+
+  test("ambiguous hot alias resolves to the highest-prior entity") {
+    val (linked, _) = AliasLink.link(mentions, dict)
+    val ada = linked.filter(col("label") === "Ada Prime")
+      .select("ent").distinct().as[String].collect()
+    assert(ada.toSeq == Seq("Ada Prime A")) // prior 0.7 beats 0.3
+  }
+
+  test("unlinked mentions carry their alias key for canonicalization") {
+    val (_, unlinked) = AliasLink.link(mentions, dict)
+    val keys = unlinked.select("key").distinct().as[String].collect()
+    assert(keys.nonEmpty && keys.forall(_.startsWith("mystery")))
+  }
+}
