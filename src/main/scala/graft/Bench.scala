@@ -38,16 +38,8 @@ object Bench {
     linked.count()
   }
 
-  private def seedsFor(session: SparkSession, w: CorpusGen.World): Pipeline.Seeds = {
-    val spark = session
-    import spark.implicits._
-    Pipeline.Seeds(
-      aliases = w.aliases.toDF("alias", "ent", "freq", "is_hot"),
-      entityTypes = w.entityTypes.toDS().toDF("ent", "tpe"),
-      taxonomyEdges = w.taxonomyEdges.toDS().toDF(),
-      disjointPairs = w.disjointPairs.toDF("type_a", "type_b"),
-      seedRelations = w.seedRelations.toDF("sub", "pred", "obj"))
-  }
+  private def seedsFor(session: SparkSession, w: CorpusGen.World): Pipeline.Seeds =
+    w.seeds(session)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

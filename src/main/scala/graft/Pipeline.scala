@@ -28,34 +28,60 @@ object Pipeline {
 
   case class Seeds(aliases: DataFrame, entityTypes: DataFrame,
                    taxonomyEdges: DataFrame, disjointPairs: DataFrame,
-                   seedRelations: DataFrame)
+                   seedRelations: DataFrame, redirects: DataFrame = null)
+
+  /** NIL labels more frequent than this with no known entity are boilerplate
+    * and dropped (F9, ≙ `/root/reference/impl/wikipedia/__init__.py:59-67`,
+    * threshold 50 there; lower here because the fixture corpus is small). */
+  val MaxUnknownLabelFreq = 20
 
   /** Run (or resume) the full pipeline; returns the triple table. */
   def run(spark: SparkSession, pages: DataFrame, seeds: Seeds,
           outDir: String, runId: String = "run-1"): DataFrame = {
     Normalize.register(spark)
     val runner = new StageRunner(spark, outDir, runId)
+    val sp = spark
+    import sp.implicits._
 
     // 1. invariant text extraction (byte-identical per url)
     val pagesText = runner.run("pages_text") { TextExtract.extract(pages) }
 
+    // 1b. corpus hypernym mining over page prose (A5/N9 — Hearst patterns)
+    runner.run("hypernyms") {
+      graft.mine.Hearst.corpusCounts(
+        pagesText.select("url", "text").as[(String, String)])
+    }
+
     // 2. listings → items → subject mentions
     val mentions = runner.run("mentions") { ListingExtract.mentions(pagesText) }
 
-    // 3. entity linking (broadcast alias dict, salted hot keys)
-    val dict = AliasLink.buildDict(seeds.aliases)
+    // 3. entity linking (broadcast alias dict incl. folded spelling
+    // redirects)
+    val aliasTable =
+      if (seeds.redirects == null) seeds.aliases
+      else AliasLink.foldRedirects(seeds.aliases, seeds.redirects)
+    val dict = AliasLink.buildDict(aliasTable)
     val linked = runner.run("linked") { AliasLink.link(mentions, dict)._1 }
     val unlinked = runner.run("unlinked") { AliasLink.link(mentions, dict)._2 }
 
+    // 3b. F9: drop frequent unknown labels (boilerplate) before clustering
+    val keptUnlinked = runner.run("unlinked_kept") {
+      val frequent = unlinked.groupBy("label")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > MaxUnknownLabelFreq)
+        .select("label")
+      unlinked.join(broadcast(frequent), Seq("label"), "left_anti")
+    }
+
     // 4. NIL canonicalization via connected components
-    val nilAssign = runner.run("nil_entities") { NilCluster.cluster(unlinked) }
+    val nilAssign = runner.run("nil_entities") { NilCluster.cluster(keptUnlinked) }
 
     // 5. subject-entity table: known + new
     val subjects = runner.run("subjects") {
       linked.select("url", "listing_key", "mention_id", "label", "ent")
         .withColumn("is_new", lit(false))
         .unionByName(
-          unlinked.join(nilAssign, "mention_id")
+          keptUnlinked.join(nilAssign, "mention_id")
             .select("url", "listing_key", "mention_id", "label", "ent")
             .withColumn("is_new", lit(true)))
     }

@@ -35,6 +35,23 @@ object AliasLink {
     aliases.select(Normalize.aliasKey(col("alias")).as("key"),
                    col("ent"), col("freq"), col("is_hot"))
 
+  /** Fold spelling redirects into the alias table: redirect src becomes an
+    * alias of dst's entity, guarded by levenshtein(src, dst) <= maxLev
+    * (≙ spelling-redirect resolution,
+    * `/root/reference/impl/dbpedia/resource.py:290-305`, folded into the
+    * surface-form store as at `resource.py:180-194`). */
+  def foldRedirects(aliases: DataFrame, redirects: DataFrame,
+                    maxLev: Int = 2): DataFrame = {
+    val targets = aliases.filter(col("alias") === col("ent"))
+      .select(col("alias").as("dst"), col("ent"))
+    val folded = redirects
+      .filter(levenshtein(col("src"), col("dst")) <= maxLev)
+      .join(targets, "dst")
+      .select(col("src").as("alias"), col("ent"),
+              lit(1.0).as("freq"), lit(false).as("is_hot"))
+    aliases.unionByName(folded)
+  }
+
   /** W2 best-candidate reduction: with a frequency-prior scorer, the argmax
     * per MENTION equals the argmax per KEY — so the window runs on the
     * dictionary side (taxonomy-sized) BEFORE the join, and the corpus side

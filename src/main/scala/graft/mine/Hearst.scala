@@ -1,0 +1,77 @@
+package graft.mine
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Hearst-pattern hypernym extraction + multi-source hypernym merge
+  * (N9/A5/A6; reference: matcher patterns
+  * `/root/reference/impl/util/spacy/hearst_matcher.py:6-56`, corpus counts
+  * `/root/reference/impl/wikipedia/nif_parser.py:34-45`, merge with
+  * per-source thresholds and 2-of-3 vote
+  * `/root/reference/impl/util/hypernymy.py:55-98`).
+  *
+  * The matcher is a page-local pure function (flatMap — zero shuffle, same
+  * scaling argument as the listing parser); counting is one groupBy with
+  * map-side combine (classic word-count shape).
+  */
+object Hearst {
+
+  case class Hypernym(sub: String, obj: String)
+
+  // (pattern, subGroup, objGroup) — lowercase token-level regexes over one
+  // sentence; noun phrases approximated by 1-3 word spans.
+  // lazy multi-word quantifier: the NP must not swallow the tokens after it
+  // ("cities such as berlin grew" → object "berlin", not "berlin grew")
+  private val np = "([a-z][a-z0-9]*(?: [a-z][a-z0-9]*){0,2}?)"
+  private val patterns: Seq[(java.util.regex.Pattern, Int, Int)] = Seq(
+    (s"$np is (?:a|an) $np".r.pattern, 1, 2),
+    (s"$np such as $np".r.pattern, 2, 1),
+    (s"such $np as $np".r.pattern, 2, 1),
+    (s"$np and other $np".r.pattern, 1, 2),
+    (s"$np or other $np".r.pattern, 1, 2),
+    (s"$np including $np".r.pattern, 2, 1),
+    (s"$np especially $np".r.pattern, 2, 1))
+
+  /** All hypernym pairs matched in one text (sentence-split on [.!?]). */
+  def matchText(text: String): Seq[Hypernym] = {
+    text.toLowerCase.split("[.!?]").toSeq.flatMap { sentence =>
+      val s = sentence.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll("\\s+", " ").trim
+      patterns.flatMap { case (p, si, oi) =>
+        val m = p.matcher(s)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Hypernym]
+        while (m.find()) {
+          // head-word approximation: last token of each noun phrase
+          val sub = m.group(si).split(' ').last
+          val obj = m.group(oi).split(' ').last
+          if (sub != obj) out += Hypernym(sub, obj)
+        }
+        out
+      }
+    }
+  }
+
+  /** (id, text) → hypernym pair counts over the corpus (A5). */
+  def corpusCounts(texts: Dataset[(String, String)]): DataFrame = {
+    import texts.sparkSession.implicits._
+    texts.flatMap { case (_, t) => matchText(t) }
+      .groupBy("sub", "obj").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** A6 merge: 3 sources with per-source min-count thresholds; a pair
+    * survives with >= 2 votes. Inputs: (sub, obj, cnt) each. */
+  def mergeSources(wiki: DataFrame, wikiThr: Long,
+                   web: DataFrame, webThr: Long,
+                   ratios: DataFrame, ratioThr: Double): DataFrame = {
+    val v1 = wiki.filter(col("cnt") >= wikiThr)
+      .select(col("sub"), col("obj"), lit(1).as("vote"))
+    val v2 = web.filter(col("cnt") >= webThr)
+      .select(col("sub"), col("obj"), lit(1).as("vote"))
+    val v3 = ratios.filter(col("ratio") >= ratioThr)
+      .select(col("sub"), col("obj"), lit(1).as("vote"))
+    v1.unionByName(v2).unionByName(v3)
+      .groupBy("sub", "obj").agg(sum("vote").as("votes"))
+      .filter(col("votes") >= 2)
+      .select("sub", "obj", "votes")
+  }
+}

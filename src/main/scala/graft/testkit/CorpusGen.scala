@@ -90,11 +90,17 @@ object CorpusGen {
       known ++ unknown ++ noise
     }
 
+    /** boilerplate label planted into EVERY listing — the F9
+      * frequent-unknown-label filter must drop it (a correct pipeline emits
+      * NO triples for it; a broken F9 leaks `new:loremipsumfiller`). */
+    val junkLabel = "Lorem Ipsum Filler"
+
     private def enumBody(t: String, k: Int): String = {
-      val items = members(t, k)
+      val items = (members(t, k) :+ junkLabel)
         .map(m => s"* [[$m]] — listed member, R&D note.")
       (Seq(s"== Overview ==",
            s"This page lists every $t of ${countryName(k)}.",
+           s"A ${t.toLowerCase} is a ${parentOf(t).toLowerCase}.",
            s"== Members ==") ++ items ++
        Seq("== See also ==",
            s"* [[${countryName(k)}]]",
@@ -103,7 +109,8 @@ object CorpusGen {
     }
 
     private def tableBody(t: String, k: Int): String = {
-      val rows = members(t, k).flatMap(m => Seq("|-", s"| [[$m]] || note"))
+      val rows = (members(t, k) :+ junkLabel)
+        .flatMap(m => Seq("|-", s"| [[$m]] || note"))
       (Seq(s"== Overview ==",
            s"A table of each $t of ${countryName(k)}.",
            s"== Table ==", "{|") ++ rows ++ Seq("|}")).mkString("\n")
@@ -115,7 +122,13 @@ object CorpusGen {
            "== People ==",
            "* [[Ada Prime]] — the famous one.",
            "* [[Ada Prime A]] — pioneer.",
-           "* [[Ada Prime B]] — the other one.")).mkString("\n")
+           "* [[Ada Prime B]] — the other one.",
+           "* [[Ada Prime AA]] — spelling-redirect mention.")).mkString("\n")
+
+    /** spelling redirects (levenshtein(src,dst) <= 2) folded into the alias
+      * dictionary, ≙ `impl/dbpedia/resource.py:290-305`. */
+    def redirects: Seq[(String, String)] =
+      Seq(("Ada Prime AA", "Ada Prime A"))
 
     private def escapeHtml(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -161,6 +174,24 @@ object CorpusGen {
     private def ancestors(t: String): Seq[String] =
       Iterator.iterate(Option(t))(o => o.flatMap(parentOf.get))
         .takeWhile(_.isDefined).flatten.toSeq.drop(1) // exclude t itself
+
+    /** All seed tables as DataFrames, the shape Pipeline.run consumes. */
+    def seeds(spark: org.apache.spark.sql.SparkSession): graft.Pipeline.Seeds = {
+      import spark.implicits._
+      graft.Pipeline.Seeds(
+        aliases = aliases.toDF("alias", "ent", "freq", "is_hot"),
+        entityTypes = entityTypes.toDS().toDF("ent", "tpe"),
+        taxonomyEdges = taxonomyEdges.toDS().toDF(),
+        disjointPairs = disjointPairs.toDF("type_a", "type_b"),
+        seedRelations = seedRelations.toDF("sub", "pred", "obj"),
+        redirects = redirects.toDF("src", "dst"))
+    }
+
+    /** Expected Hearst hypernym counts from the enum pages' prose
+      * ("A <type> is a <parent>." once per enum page). */
+    def expectedHypernyms: Seq[(String, String, Long)] =
+      leafTypes.map(t =>
+        (t.toLowerCase, parentOf(t).toLowerCase, nCountries.toLong))
 
     /** The exact triple set a correct pipeline must emit. */
     def expectedTriples: Seq[Triple] = {

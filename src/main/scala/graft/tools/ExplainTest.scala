@@ -11,12 +11,7 @@ object ExplainTest {
     import spark.implicits._
     val world = graft.testkit.CorpusGen.default
     val pages = spark.createDataset(world.pages).toDF()
-    val seeds = graft.Pipeline.Seeds(
-      world.aliases.toDF("alias", "ent", "freq", "is_hot"),
-      world.entityTypes.toDS().toDF("ent", "tpe"),
-      world.taxonomyEdges.toDS().toDF(),
-      world.disjointPairs.toDF("type_a", "type_b"),
-      world.seedRelations.toDF("sub", "pred", "obj"))
+    val seeds = world.seeds(spark)
     val text = graft.ingest.TextExtract.extract(pages)
     val mentions = graft.listings.ListingExtract.mentions(text)
     val dict = graft.link.AliasLink.buildDict(seeds.aliases)

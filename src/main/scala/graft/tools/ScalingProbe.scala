@@ -19,12 +19,7 @@ object ScalingProbe {
     import spark.implicits._
     val world = graft.testkit.CorpusGen.World(nCountries = 250,
                                               knownPerListing = 12)
-    val seeds = graft.Pipeline.Seeds(
-      world.aliases.toDF("alias", "ent", "freq", "is_hot"),
-      world.entityTypes.toDS().toDF("ent", "tpe"),
-      world.taxonomyEdges.toDS().toDF(),
-      world.disjointPairs.toDF("type_a", "type_b"),
-      world.seedRelations.toDF("sub", "pred", "obj"))
+    val seeds = world.seeds(spark)
     def job(): Long = {
       val pages = spark.read.parquet(pagesPath)
       val text = graft.ingest.TextExtract.extract(pages)

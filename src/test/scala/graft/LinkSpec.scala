@@ -14,7 +14,8 @@ class LinkSpec extends SparkSuite {
   private lazy val mentions = graft.listings.ListingExtract.mentions(
     graft.ingest.TextExtract.extract(world.pages.toDS().toDF()))
   private lazy val dict = AliasLink.buildDict(
-    world.aliases.toDF("alias", "ent", "freq", "is_hot"))
+    AliasLink.foldRedirects(world.aliases.toDF("alias", "ent", "freq", "is_hot"),
+                            world.redirects.toDF("src", "dst")))
 
   test("salted shuffle join == broadcast join (linked and unlinked)") {
     val (bl, bu) = AliasLink.link(mentions, dict)
@@ -37,6 +38,20 @@ class LinkSpec extends SparkSuite {
   test("unlinked mentions carry their alias key for canonicalization") {
     val (_, unlinked) = AliasLink.link(mentions, dict)
     val keys = unlinked.select("key").distinct().as[String].collect()
-    assert(keys.nonEmpty && keys.forall(_.startsWith("mystery")))
+    assert(keys.nonEmpty && keys.forall(k =>
+      k.startsWith("mystery") || k == "loremipsumfiller"))
+  }
+
+  test("spelling redirect folds into the dictionary (lev guard holds)") {
+    val (linked, _) = AliasLink.link(mentions, dict)
+    val viaRedirect = linked.filter(col("label") === "Ada Prime AA")
+      .select("ent").distinct().as[String].collect()
+    assert(viaRedirect.toSeq == Seq("Ada Prime A"))
+    // a non-spelling redirect (lev > 2) must NOT fold
+    val far = AliasLink.foldRedirects(
+      Seq(("Ada Prime A", "Ada Prime A", 1.0, false))
+        .toDF("alias", "ent", "freq", "is_hot"),
+      Seq(("Completely Different", "Ada Prime A")).toDF("src", "dst"))
+    assert(far.count() == 1)
   }
 }

@@ -11,12 +11,7 @@ class PipelineSpec extends SparkSuite {
   import spark.implicits._
 
   private lazy val world = CorpusGen.default
-  private lazy val seeds = Pipeline.Seeds(
-    aliases = world.aliases.toDF("alias", "ent", "freq", "is_hot"),
-    entityTypes = world.entityTypes.toDS().toDF("ent", "tpe"),
-    taxonomyEdges = world.taxonomyEdges.toDS().toDF(),
-    disjointPairs = world.disjointPairs.toDF("type_a", "type_b"),
-    seedRelations = world.seedRelations.toDF("sub", "pred", "obj"))
+  private lazy val seeds = world.seeds(spark)
 
   test("pipeline reproduces expected triples at P/R >= 0.95 (exact match)") {
     val outDir = SparkSuite.tempDir("graft-pipe")
@@ -33,6 +28,17 @@ class PipelineSpec extends SparkSuite {
     assert(pr.precision >= 0.95 && pr.recall >= 0.95,
            s"P/R gate failed: $pr")
     assert(pr.precision == 1.0 && pr.recall == 1.0, s"exact-match drift: $pr")
+    // F9: the planted boilerplate label must not leak into any triple
+    assert(triples.filter(col("subj").contains("loremipsum") ||
+                          col("obj").contains("Lorem Ipsum")).count() == 0)
+  }
+
+  test("Hearst hypernym stage mines the planted prose counts") {
+    val outDir = SparkSuite.tempDir("graft-hyp")
+    Pipeline.run(spark, world.pages.toDS().toDF(), seeds, outDir)
+    val got = spark.read.parquet(s"$outDir/hypernyms")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == world.expectedHypernyms.toSet, s"got $got")
   }
 
   test("triples are written partitioned by predicate") {

@@ -9,12 +9,7 @@ class ResumeSpec extends SparkSuite {
   import spark.implicits._
 
   private lazy val world = CorpusGen.default
-  private def seeds = Pipeline.Seeds(
-    aliases = world.aliases.toDF("alias", "ent", "freq", "is_hot"),
-    entityTypes = world.entityTypes.toDS().toDF("ent", "tpe"),
-    taxonomyEdges = world.taxonomyEdges.toDS().toDF(),
-    disjointPairs = world.disjointPairs.toDF("type_a", "type_b"),
-    seedRelations = world.seedRelations.toDF("sub", "pred", "obj"))
+  private def seeds = world.seeds(spark)
 
   test("resume after simulated mid-pipeline kill reproduces the snapshot") {
     val outDir = SparkSuite.tempDir("graft-resume")
