@@ -58,6 +58,27 @@ object Hearst {
       .groupBy("sub", "obj").agg(count(lit(1)).as("cnt"))
   }
 
+  /** A4: type lexicalisation scores — per surface word, the normalized
+    * distribution over hypernym types it evidences, with a minimum floor
+    * for exact-label matches (≙ `/root/reference/impl/category/cat2ax.py:164-182`).
+    * Input: hypernym counts (sub, obj, cnt); `exactLabels(word, tpe)` gets
+    * the floor via `greatest`. */
+  def typeLexicalisations(counts: DataFrame, exactLabels: DataFrame,
+                          floor: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("sub")
+    val scored = counts
+      .withColumn("score", col("cnt") / sum("cnt").over(w))
+      .select(col("sub").as("word"), col("obj").as("tpe"), col("score"))
+    scored.join(exactLabels.withColumn("is_exact", lit(true)),
+                Seq("word", "tpe"), "full_outer")
+      .na.fill(0.0, Seq("score"))
+      .withColumn("score",
+        when(col("is_exact"), greatest(col("score"), lit(floor)))
+          .otherwise(col("score")))
+      .select(col("word"), col("tpe"), round(col("score"), 6).as("score"))
+  }
+
   /** A6 merge: 3 sources with per-source min-count thresholds; a pair
     * survives with >= 2 votes. Inputs: (sub, obj, cnt) each. */
   def mergeSources(wiki: DataFrame, wikiThr: Long,

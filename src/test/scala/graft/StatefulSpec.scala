@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{StatefulSessions, Streams}
+import graft.taxonomy.{Disjointness, PropertyFrequencies}
+import graft.mine.Hearst
+
+class StatefulSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("flatMapGroupsWithState sessionizer: streaming == batch semantics") {
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"),
+              unix_timestamp(col("ts")).as("ts_s"), col("event_id"))
+      .as[StatefulSessions.Event]
+
+    // run the SAME state machine through a real streaming query
+    val dir = SparkSuite.tempDir("graft-sess")
+    events.toDF().write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream
+      .schema(events.schema).parquet(s"$dir/in")
+      .as[StatefulSessions.Event]
+    val q = StatefulSessions.run(streamIn)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    val streamed = spark.table("sessions")
+      .as[StatefulSessions.ClosedSession].collect()
+      .map(s => (s.user_id, s.start_s, s.dur_s, s.n_events)).sorted
+    q.stop()
+
+    val batch = StatefulSessions.runBatch(events)
+      .map(s => (s.user_id, s.start_s, s.dur_s, s.n_events)).sorted.toArray
+    assert(streamed.sameElements(batch))
+    assert(streamed.nonEmpty)
+
+    // cross-check against the window-based sessionize: closed+open sessions
+    // per user must equal the window form's session count
+    val closedPerUser = batch.groupBy(_._1).view.mapValues(_.length).toMap
+    val windowForm = Streams.sessionize(graft.core.Tables.events(spark, sf))
+      .select("user_id", "n_sessions").as[(Long, Long)].collect().toMap
+    windowForm.foreach { case (u, n) =>
+      val closed = closedPerUser.getOrElse(u, 0)
+      assert(n == closed + 1, s"user $u: window=$n closed=$closed")
+    }
+  }
+
+  test("A15 property frequencies with subtree fallback") {
+    val types = Seq(("e1", "Scientist"), ("e2", "Scientist"),
+                    ("e3", "Scientist"), ("e4", "Artist"))
+      .toDF("ent", "tpe")
+    val rels = Seq(("e1", "locatedIn", "c"), ("e2", "locatedIn", "c"),
+                   ("e4", "paints", "x")).toDF("sub", "pred", "obj")
+    val closure = Disjointness.closureWithSelf(
+      Seq(("Scientist", "Person"), ("Artist", "Person"))
+        .toDF("child", "parent"))
+    val got = PropertyFrequencies
+      .perClass(types, rels, closure, minEntities = 3)
+      .as[(String, String, Double, Long, Boolean)].collect().toSet
+    // Scientist dense (3 ents): locatedIn 2/3; Artist sparse (1 ent) →
+    // subtree = itself only → paints 1/1 via_subtree
+    assert(got.contains(("Scientist", "locatedIn", 0.666667, 3L, false)))
+    assert(got.contains(("Artist", "paints", 1.0, 1L, true)))
+  }
+
+  test("A4 type lexicalisations with exact-label floor") {
+    val counts = Seq(("berlin", "city", 3L), ("berlin", "capital", 1L))
+      .toDF("sub", "obj", "cnt")
+    val exact = Seq(("berlin", "settlement")).toDF("word", "tpe")
+    val got = Hearst.typeLexicalisations(counts, exact, floor = 0.5)
+      .as[(String, String, Double)].collect().toSet
+    assert(got == Set(("berlin", "city", 0.75), ("berlin", "capital", 0.25),
+                      ("berlin", "settlement", 0.5)))
+  }
+}
