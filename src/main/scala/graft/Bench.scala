@@ -116,7 +116,9 @@ object Bench {
         val s = newSession(level)
         graft.core.Normalize.register(s)
         val seeds = seedsFor(s, world)
-        if (warm) kgScalingJob(s, pagesPath, seeds) // per-level warm-up
+        // per-level warm-up on the REAL corpus: equalizes page-cache and
+        // JIT state before the first timed run
+        if (warm) kgScalingJob(s, scalingPath, seeds)
         val t0 = System.nanoTime()
         val n = kgScalingJob(s, scalingPath, seeds)
         val sec = (System.nanoTime() - t0) / 1e9

@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
          classOf[graft.core.Normalize.AliasKeyExpr].getName, "alias_key"),
        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
          graft.core.Normalize.AliasKeyExpr(exprs.head)))
+    ext.injectOptimizerRule(_ => graft.plans.IdempotentAliasKey)
   }
 }

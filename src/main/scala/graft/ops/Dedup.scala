@@ -133,13 +133,17 @@ object Dedup {
                    ON x.shingle=y.shingle AND x.doc_id<y.doc_id),
         $verifySqlTail"""
 
-  /** Deterministic shingle ids: dense ranks over the sorted distinct shingle
-    * domain. Oracle-checkable (identical in SQL); the global sort is the
-    * price of determinism — the scale path [[minhashLshFast]] replaces it
-    * with xxhash64. */
-  private def shingleIds(sh: DataFrame): DataFrame =
-    sh.select("shingle").distinct()
-      .withColumn("sid", row_number().over(Window.orderBy("shingle")).cast("long"))
+  /** Deterministic shingle ids shared with the DuckDB oracle: the first 8
+    * hex chars of md5(shingle) as an integer — content-derived, computed
+    * inline per row (no global sort, no dictionary join; md5 is identical
+    * in Spark and DuckDB). 32-bit id collisions perturb a minhash
+    * identically on both sides, so oracle parity is unaffected. */
+  private def sidCol: Column =
+    conv(substring(md5(to_binary(col("shingle"), lit("utf-8"))), 1, 8),
+         16, 10).cast("long")
+
+  private val sidSql =
+    "('0x' || substring(md5(shingle), 1, 8))::BIGINT"
 
   /** MinHash + LSH near-dup detection, exact-oracle variant.
     * minhash_k(doc) = min over shingles of (a_k*sid + b_k) mod P; 4 bands of
@@ -148,7 +152,7 @@ object Dedup {
     * corpora where LSH recall is 1.0 at the threshold. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
-    val dsh = sh.join(shingleIds(sh), "shingle").select("doc_id", "sid")
+    val dsh = sh.select(col("doc_id"), sidCol.as("sid"))
     val ks = (0 until NumHashes).map { k =>
       struct(lit(k).as("k"), lit(HashA(k)).as("ha"), lit(HashB(k)).as("hb"))
     }
@@ -178,9 +182,7 @@ object Dedup {
       s"SELECT doc_id, $k AS k, min((${HashA(k)}*sid + ${HashB(k)}) % $P) AS mh FROM dsh GROUP BY 1"
     }.mkString(" UNION ALL ")
     s"""WITH sh AS ($shinglesSql),
-        sid AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
-                FROM (SELECT DISTINCT shingle FROM sh)),
-        dsh AS (SELECT doc_id, sid FROM sh JOIN sid USING (shingle)),
+        dsh AS (SELECT doc_id, $sidSql AS sid FROM sh),
         mh AS ($hashSel),
         bands AS (
           SELECT doc_id, CAST(k/$BandRows AS INT) AS band,
@@ -229,7 +231,10 @@ object Dedup {
     * oracle can reproduce it bit-for-bit. */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
-    val dsh = sh.join(shingleIds(sh), "shingle").select("doc_id", "sid")
+    // 24-bit sid: the 32-bit one overflows Long under the Knuth multiplier
+    val sid24 = conv(substring(md5(to_binary(col("shingle"), lit("utf-8"))),
+                               1, 6), 16, 10).cast("long")
+    val dsh = sh.select(col("doc_id"), sid24.as("sid"))
     val h = ((col("sid") * 2654435761L) % 4294967296L).as("h")
     val bits = (0 until 16).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
@@ -258,10 +263,10 @@ object Dedup {
       s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
     s"""WITH sh AS ($shinglesSql),
-        sid AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
-                FROM (SELECT DISTINCT shingle FROM sh)),
-        dsh AS (SELECT doc_id, (sid * 2654435761) % 4294967296 AS h
-                FROM sh JOIN sid USING (shingle)),
+        dsh AS (SELECT doc_id,
+                  (('0x' || substring(md5(shingle), 1, 6))::BIGINT
+                   * 2654435761) % 4294967296 AS h
+                FROM sh),
         bs AS (SELECT doc_id, $bitSums FROM dsh GROUP BY 1),
         fp AS (SELECT doc_id, $fpExpr AS simhash FROM bs),
         blocked AS (SELECT doc_id, simhash, simhash >> 8 AS block FROM fp)

@@ -51,13 +51,22 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
   }
 
   /** Run (or resume) a stage partitioned by `partCol` (the triple tables'
-    * partitionBy(pred)); appends per-partition lineage rows. */
+    * partitionBy(pred)); appends per-partition lineage rows.
+    *
+    * Writes use DYNAMIC partition overwrite: a re-run (or a backfill whose
+    * DataFrame covers only a subset of partitions) replaces exactly the
+    * partitions present in the data and leaves the rest untouched — the
+    * parquet equivalent of Iceberg's idempotent partition-overwrite commit
+    * (north rule: per-partition checkpoint; swap the format string for
+    * "iceberg" when the runtime ships the jars). */
   def runPartitioned(stage: String, partCol: String, rowsIn: Long = -1L)
                     (f: => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
     val resumed = done(stage)
     if (!resumed)
-      f.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      f.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol)
         .parquet(path(stage))
     val df = spark.read.parquet(path(stage))
     val wall = (System.nanoTime() - t0) / 1000000

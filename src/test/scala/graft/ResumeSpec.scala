@@ -40,6 +40,37 @@ class ResumeSpec extends SparkSuite {
            s"late stages should re-run: $lin")
   }
 
+  test("partition backfill rewrites only the targeted predicate partition") {
+    import graft.runtime.StageRunner
+    val dir = SparkSuite.tempDir("graft-backfill")
+    val r1 = new StageRunner(spark, dir, "t1")
+    r1.runPartitioned("tp", "pred") {
+      Seq(("a", "rdf:type", 1), ("b", "rdfs:label", 2))
+        .toDF("subj", "pred", "v")
+    }
+    val labelDir = new java.io.File(s"$dir/tp/pred=rdfs%3Alabel")
+    val beforeFiles = labelDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    // simulate a damaged/missing type partition + stale success marker
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rm); p.delete()
+    }
+    rm(new java.io.File(s"$dir/tp/pred=rdf%3Atype"))
+    new java.io.File(s"$dir/tp/_SUCCESS").delete()
+    // backfill ONLY the type partition
+    val r2 = new StageRunner(spark, dir, "t2")
+    r2.runPartitioned("tp", "pred") {
+      Seq(("a", "rdf:type", 99)).toDF("subj", "pred", "v")
+    }
+    // the label partition's files are byte-for-byte untouched
+    val afterFiles = labelDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(afterFiles == beforeFiles)
+    // and the table now holds the old label row + the new type row
+    val got = spark.read.parquet(s"$dir/tp")
+      .select("subj", "pred", "v").as[(String, String, Int)]
+      .collect().toSet
+    assert(got == Set(("a", "rdf:type", 99), ("b", "rdfs:label", 2)))
+  }
+
   test("per-partition lineage rows exist for the triple table") {
     val outDir = SparkSuite.tempDir("graft-lin")
     Pipeline.run(spark, world.pages.toDS().toDF(), seeds, outDir)
