@@ -63,11 +63,13 @@ object ConnectedComponents {
     val bidir = e.unionByName(
       e.select(col("dst").as("src"), col("src").as("dst")))
     val w = Window.partitionBy("src")
+    // no output distinct: duplicates (bounded 2x by the bidir expansion)
+    // cannot change smallStar's window min, and smallStar's final distinct
+    // dedups — saves one shuffle per round
     bidir
       .withColumn("m", least(min("dst").over(w), col("src")))
       .filter(col("dst") > col("src") && col("dst") =!= col("m"))
       .select(col("dst").as("src"), col("m").as("dst"))
-      .distinct()
   }
 
   /** Orient edges high→low; for each node u: m = min smaller-neighbor; link
