@@ -14,6 +14,7 @@ object SparkSuite {
       .master("local[4]")
       .appName("graft-test")
       .withExtensions(new GraftExtensions)
+      .config("spark.sql.warehouse.dir", tempDir("graft-warehouse"))
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
