@@ -42,4 +42,17 @@ object TripleEmit {
   def toNtLines(triples: DataFrame): DataFrame =
     triples.select(NtCodec.ntLine(col("subj"), col("pred"), col("obj"),
                                   col("is_literal")).as("value"))
+
+  /** S7 sink: NT text files partitioned by predicate (≙ the reference's 17
+    * per-relation .nt files, `serialize.py:21-46` — one directory per pred
+    * here, compression via the standard text codec option). */
+  def writeNt(triples: DataFrame, path: String,
+              codec: String = "none"): Unit =
+    triples
+      .select(col("pred").as("pred_part"),
+              NtCodec.ntLine(col("subj"), col("pred"), col("obj"),
+                             col("is_literal")).as("value"))
+      .write.mode("overwrite").partitionBy("pred_part")
+      .option("compression", codec)
+      .text(path)
 }

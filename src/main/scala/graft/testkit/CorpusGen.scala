@@ -116,6 +116,18 @@ object CorpusGen {
            s"== Table ==", "{|") ++ rows ++ Seq("|}")).mkString("\n")
     }
 
+    /** A mixed-type listing per country: the TYPE rule must NOT fire (max
+      * type share 1/4 < 0.75) while the RELATION rule must (all 4 linked
+      * members share locatedIn country k) — the asymmetric threshold case
+      * a regression in either direction shows up in P/R. */
+    private def mixedBody(k: Int): String = {
+      val items = Seq(
+        entName("Scientist", k, 0), entName("Film", k, 0),
+        entName("Artist", k, 1), entName("Book", k, 1),
+        s"Mixed Mystery $k").map(m => s"* [[$m]] — resident.")
+      (Seq("== Mixed ==") ++ items).mkString("\n")
+    }
+
     /** the one page exercising ambiguous-alias linking */
     private def adaBody: String =
       (Seq("== Overview ==", "Famous people called Ada.",
@@ -153,6 +165,11 @@ object CorpusGen {
       }
       val ada = Page("https://example.org/people-called-ada",
                      new Timestamp(t0 - 60000L), htmlFor(adaBody), adaBody, "en")
+      val mixed = (0 until nCountries).map { k =>
+        val body = mixedBody(k)
+        Page(s"https://example.org/mixed-of-country-$k",
+             new Timestamp(t0 - 120000L - k), htmlFor(body), body, "en")
+      }
       // non-en pages with UNIQUE unknown labels: if the lang filter breaks,
       // these leak extra `new:geheim...` triples and precision drops.
       val nonEn = (0 until math.max(1, nCountries / 2)).map { k =>
@@ -164,7 +181,7 @@ object CorpusGen {
         Page(s"https://example.org/de-liste-$k", new Timestamp(t0 + 999999L + k),
              htmlFor(body), body, "de")
       }
-      listPages ++ Seq(ada) ++ nonEn
+      listPages ++ Seq(ada) ++ mixed ++ nonEn
     }
 
     // — expected pipeline output (computed from the same parameters) —
@@ -217,6 +234,14 @@ object CorpusGen {
         val c = countryName(k)
         unknowns.foreach(m => out += Triple(newEnt(m), Preds.LocatedIn, c, false))
         noise.foreach(m => out += Triple(m, Preds.LocatedIn, c, false))
+      }
+      // mixed listings: type rule blocked (share 1/4), relation rule fires
+      // (all 4 linked share locatedIn country k) → the new entity gets a
+      // label + locatedIn but NO types.
+      for (k <- 0 until nCountries) {
+        val m = s"Mixed Mystery $k"
+        out += Triple(newEnt(m), Preds.Label, m, true)
+        out += Triple(newEnt(m), Preds.LocatedIn, countryName(k), false)
       }
       // the Ada page: listing has 3 items, all linked (no unknowns);
       // "Ada Prime" resolves to the higher-prior entity A. Linked types:

@@ -39,7 +39,8 @@ class LinkSpec extends SparkSuite {
     val (_, unlinked) = AliasLink.link(mentions, dict)
     val keys = unlinked.select("key").distinct().as[String].collect()
     assert(keys.nonEmpty && keys.forall(k =>
-      k.startsWith("mystery") || k == "loremipsumfiller"))
+      k.startsWith("mystery") || k.startsWith("mixedmystery") ||
+      k == "loremipsumfiller"))
   }
 
   test("spelling redirect folds into the dictionary (lev guard holds)") {

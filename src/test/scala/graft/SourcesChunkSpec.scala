@@ -29,6 +29,25 @@ class SourcesChunkSpec extends SparkSuite {
     assert(parsed == want)
   }
 
+  test("NT sink: pred-partitioned text files parse back losslessly") {
+    val triples = Seq(
+      ("Ada Prime", "rdf:type", "Scientist", false),
+      ("Ada Prime", "rdfs:label", "Ada", true),
+      ("B", "clg:locatedIn", "Country 1", false))
+      .toDF("subj", "pred", "obj", "is_literal")
+    val dir = SparkSuite.tempDir("graft-nt") + "/nt"
+    TripleEmit.writeNt(triples, dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts.exists(_.startsWith("pred_part=")) && parts.size == 3)
+    val back = NtSource.read(spark, dir)
+      .as[(String, String, String, Boolean)].collect().toSet
+    assert(back == Set(
+      ("Ada Prime", "type", "Scientist", false),
+      ("Ada Prime", "label", "Ada", true),
+      ("B", "locatedIn", "Country 1", false)))
+  }
+
   test("chunk packing respects token and item limits") {
     def item(i: Int, n: Int) =
       Chunking.Item(i, (1 to n).map(t => s"t$t"))
