@@ -60,6 +60,7 @@ object SparkEntry {
       graft.streaming.Streams.windowedCounts(graft.core.Tables.events(s, d))),
     "stream_sessionize" -> ((s, d) =>
       graft.streaming.Streams.sessionize(graft.core.Tables.events(s, d))),
+    "j9_bm25_topk" -> ((s, d) => graft.link.Bm25.topK(s, d)),
     // — KG-construction stages over documents-as-pages —
     "kg_extract_invariant"    -> (KgQueries.extractInvariant _),
     "kg_triples"              -> (KgQueries.triples _),
@@ -206,6 +207,7 @@ object SparkEntry {
          FROM documents""",
     "stream_window_counts"   -> graft.streaming.Streams.windowedCountsSql,
     "stream_sessionize"      -> graft.streaming.Streams.sessionizeSql,
+    "j9_bm25_topk"           -> graft.link.Bm25.topKSql,
     "kg_extract_invariant"   -> KgQueries.extractInvariantOracle,
     "kg_triples"             -> KgQueries.triplesOracle,
   )
