@@ -134,9 +134,10 @@ object Bench {
     // host-noise window) — controls for co-tenant steal on this shared box.
     // MEDIAN over rounds (max cherry-picks bursts hitting the lo level and
     // can exceed 1), clamped at the ideal 1.0.
+    def pairedRatios(lo: Int, hi: Int): Seq[Double] = roundTimes
+      .map(t => t(lo) / ((hi.toDouble / lo) * t(hi))).sorted.toSeq
     def pairedEff(lo: Int, hi: Int): Double = {
-      val ratios = roundTimes
-        .map(t => t(lo) / ((hi.toDouble / lo) * t(hi))).sorted
+      val ratios = pairedRatios(lo, hi)
       math.min(1.0, ratios(ratios.size / 2))
     }
     def effN4N = pairedEff(levels(0), levels(1))
@@ -160,6 +161,9 @@ object Bench {
       s""""pipeline_pages_per_s":${nPages / pipelineSec},""" +
       s""""pipeline_triples_per_s":${nTriples / pipelineSec},""" +
       s""""scaling":{"levels":[${levels.mkString(",")}],$thrJson,""" +
-      s""""efficiency":$effN4N,"efficiency_hi_pair":$effHi}}}""")
+      s""""efficiency":$effN4N,"efficiency_hi_pair":$effHi,""" +
+      s""""efficiency_rounds":[${
+        pairedRatios(levels(0), levels(1)).map(r => f"$r%.3f").mkString(",")
+      }]}}}""")
   }
 }
