@@ -50,7 +50,7 @@ object Bench {
     // the scaling corpus is larger: short jobs are dominated by fixed task
     // overhead and show no parallelism signal
     val scalingReplicate =
-      sys.env.getOrElse("SPARK_GRAFT_KG_SCALING_REPLICATE", "64").toInt
+      sys.env.getOrElse("SPARK_GRAFT_KG_SCALING_REPLICATE", "128").toInt
     val world = CorpusGen.World(nCountries = nCountries, knownPerListing = 12)
 
     // ---- session 1: full-parallelism queries + pipeline ----
