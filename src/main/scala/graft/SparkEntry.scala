@@ -46,6 +46,7 @@ object SparkEntry {
     "dedup_embedding_cosine"  -> (Dedup.embeddingCosine _),
     "ann_bruteforce_topk"     -> (Ann.bruteForceTopK _),
     "ann_ivf_topk"            -> (Ann.ivfTopK _),
+    "ann_lsh_cosine"          -> (Ann.lshCosine _),
     "text_lang_id"            -> (TextOps.langId _),
     "text_quality_score"      -> (TextOps.qualityScore _),
     "text_token_count"        -> (TextOps.tokenCount _),
@@ -192,6 +193,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
     "ann_bruteforce_topk"    -> Ann.bruteForceTopKSql,
     "ann_ivf_topk"           -> Ann.ivfTopKSql,
+    "ann_lsh_cosine"         -> Ann.lshCosineSql,
     "text_lang_id"           -> TextOps.langIdSql,
     "text_quality_score"     -> TextOps.qualityScoreSql,
     "text_token_count"       -> TextOps.tokenCountSql,

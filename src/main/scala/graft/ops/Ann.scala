@@ -95,6 +95,64 @@ object Ann {
               round(col("cos"), 6).as("cos"))
   }
 
+  /** Random-hyperplane LSH (SimHash-for-cosine) candidate retrieval — the
+    * scale path when even IVF's centroid scan is too much: `NumPlanes`
+    * deterministic pseudo-random hyperplanes (integer-arithmetic
+    * construction so the DuckDB oracle reproduces them bit-for-bit) hash
+    * every vector to a signature; candidates share a signature; verified
+    * with exact cosine >= 0.3. At corpus scale this is one groupBy on the
+    * signature — no pairwise anything outside a bucket. */
+  val NumPlanes = 8
+
+  /** plane(j)[i] = ((j*31 + i) * 2654435761) mod 1000 - 500, j in [0,8). */
+  private def planeVal(j: Int, i: Column): Column =
+    (lit(j * 31L) + i) * 2654435761L % 1000L - 500L
+
+  def lshCosine(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val sigBits = (0 until NumPlanes).map { j =>
+      val dotPlane = aggregate(
+        zip_with(col("emb"),
+                 sequence(lit(0), size(col("emb")) - 1),
+                 (x, i) => x * planeVal(j, i).cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotPlane > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    val signed = e.withColumn("sig", sigBits.reduce(_ + _))
+    val cand = signed.select(col("vec_id").as("a"), col("emb").as("ea"),
+                             col("sig"))
+      .join(signed.select(col("vec_id").as("b"), col("emb").as("eb"),
+                          col("sig")), "sig")
+      .filter(col("a") < col("b"))
+    cand.withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.3)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
+  val lshCosineSql: String = {
+    val sigExpr = (0 until NumPlanes).map { j =>
+      s"""CASE WHEN list_sum(list_transform(range(1, len(emb)+1),
+            i -> emb[i] * CAST((($j*31 + (i-1)) * 2654435761) % 1000 - 500
+                          AS DOUBLE))) > 0
+          THEN ${1L << j} ELSE 0 END"""
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+        signed AS (SELECT vec_id, emb, $sigExpr AS sig FROM e),
+        cand AS (SELECT x.vec_id AS a, x.emb AS ea, y.vec_id AS b, y.emb AS eb
+                 FROM signed x JOIN signed y
+                   ON x.sig = y.sig AND x.vec_id < y.vec_id),
+        scored AS (SELECT a, b,
+          list_sum(list_transform(range(1, len(ea)+1), i -> ea[i]*eb[i]))
+          / (sqrt(list_sum(list_transform(range(1, len(ea)+1), i -> ea[i]*ea[i])))
+           * sqrt(list_sum(list_transform(range(1, len(eb)+1), i -> eb[i]*eb[i]))))
+          AS cos
+          FROM cand)
+        SELECT a, b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.3"""
+  }
+
   val ivfTopKSql: String =
     """WITH e AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
