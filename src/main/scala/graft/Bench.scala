@@ -57,11 +57,16 @@ object Bench {
     var spark = newSession(cpus)
     graft.core.Normalize.register(spark)
 
+    // a crashed query must be distinguishable from a fast one: its time is
+    // emitted NEGATIVE and its name is listed in failed_queries
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -sec)
     }
+    val failed = results.collect { case (n, t) if t < 0 => n }.toSeq
 
     // materialize the bench corpus once (deterministic, replicated with
     // distinct urls so it is a real parquet scan for every run)
@@ -150,11 +155,13 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
     val thrJson = levels.map(l => s""""pages_per_s_c$l":${thr(l)}""")
       .mkString(",")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed_queries":$failedJson,""" +
       s""""sf":"$sfDir","kg":{"pages":$nPages,""" +
       s""""scaling_pages":$nScalingPages,"triples":$nTriples,""" +
       s""""pipeline_sec":$pipelineSec,""" +

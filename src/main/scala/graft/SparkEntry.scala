@@ -34,6 +34,12 @@ object SparkEntry {
     "a16_degree_popularity" -> (Relational.degreePopularity _),
     "w1_topk_per_group"     -> (Relational.topKPerGroup _),
     "a10_domain_range"      -> (Relational.domainRangeHeuristic _),
+    "a3_zero_padded_median" -> (MiningQueries.zeroPaddedMedian _),
+    "a5_hearst_counts"      -> (MiningQueries.hearstCounts _),
+    "a6_hypernym_vote"      -> (MiningQueries.hypernymVote _),
+    "f9_frequent_label"     -> (MiningQueries.frequentLabelFilter _),
+    "a15_property_freq"     -> (MiningQueries.propertyFreqSubtree _),
+    "a11_disjointness"      -> (MiningQueries.disjointnessCosine _),
     "u2_set_difference"     -> (Relational.setDifference _),
     "g2_type_closure"       -> (Relational.typeClosure _),
     "g9_connected_components" -> (Relational.connectedComponents _),
@@ -186,6 +192,12 @@ object SparkEntry {
            UNION
            SELECT ud.dst, reach.r FROM reach JOIN ud ON reach.node=ud.src)
          SELECT node, min(r) AS component FROM reach GROUP BY node""",
+    "a3_zero_padded_median"  -> MiningQueries.zeroPaddedMedianSql,
+    "a5_hearst_counts"       -> MiningQueries.hearstCountsSql,
+    "a6_hypernym_vote"       -> MiningQueries.hypernymVoteSql,
+    "f9_frequent_label"      -> MiningQueries.frequentLabelFilterSql,
+    "a15_property_freq"      -> MiningQueries.propertyFreqSubtreeSql,
+    "a11_disjointness"       -> MiningQueries.disjointnessCosineSql,
     "dedup_exact"            -> Dedup.exactDedupSql,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccardSql,
     "dedup_minhash_lsh"      -> Dedup.minhashLshSql,

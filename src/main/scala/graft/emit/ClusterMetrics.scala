@@ -37,10 +37,14 @@ object ClusterMetrics {
     val sumIj = joint.values.map(c => c2(c.toLong)).sum
     val sumA = pred.values.map(c => c2(c.toLong)).sum
     val sumB = gold.values.map(c => c2(c.toLong)).sum
-    val expected = sumA * sumB / c2(n.toLong)
-    val maxIdx = (sumA + sumB) / 2.0
-    val ari = if (maxIdx == expected) 1.0
-              else (sumIj - expected) / (maxIdx - expected)
+    // n=1: c2(n)=0, expected would be 0/0 -> NaN. A single item is trivially
+    // perfectly clustered; short-circuit to the defined degenerate value.
+    val ari = if (c2(n.toLong) == 0.0) 1.0 else {
+      val expected = sumA * sumB / c2(n.toLong)
+      val maxIdx = (sumA + sumB) / 2.0
+      if (maxIdx == expected) 1.0
+      else (sumIj - expected) / (maxIdx - expected)
+    }
 
     Scores(purity, nmi, ari)
   }

@@ -99,57 +99,87 @@ object Ann {
     * scale path when even IVF's centroid scan is too much: `NumPlanes`
     * deterministic pseudo-random hyperplanes (integer-arithmetic
     * construction so the DuckDB oracle reproduces them bit-for-bit) hash
-    * every vector to a signature; candidates share a signature; verified
-    * with exact cosine >= 0.3. At corpus scale this is one groupBy on the
-    * signature — no pairwise anything outside a bucket. */
-  val NumPlanes = 8
+    * every vector to `NumBands` independent band signatures; candidates
+    * share ANY band bucket (multi-band = recall amplification, the standard
+    * LSH OR-construction); buckets above `MaxBucket` are cut (a degenerate
+    * signature — near-zero or tightly clustered vectors — would otherwise
+    * make one bucket O(bucket^2) in a single task, the same hot-bucket
+    * failure minhashLsh caps); survivors verified with exact
+    * cosine >= 0.3. At corpus scale: one groupBy on (band, signature) —
+    * no pairwise anything outside a capped bucket. */
+  val NumPlanes = 16
+  val NumBands = 2 // 2 bands x 8 planes
+  val PlanesPerBand: Int = NumPlanes / NumBands
 
-  /** plane(j)[i] = ((j*31 + i) * 2654435761) mod 1000 - 500, j in [0,8). */
+  /** Bucket cap: 8-plane band buckets (256 keys/band) on clustered data can
+    * collect a large fraction of the corpus; pairs are only generated inside
+    * buckets <= MaxBucket so one degenerate signature cannot produce a
+    * quadratic task (mirrors Dedup.MaxBucket). */
+  val MaxBucket = 50
+
+  /** plane(j)[i] = ((j*31 + i) * 2654435761) mod 1000 - 500, j in [0,16). */
   private def planeVal(j: Int, i: Column): Column =
     (lit(j * 31L) + i) * 2654435761L % 1000L - 500L
 
   def lshCosine(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val sigBits = (0 until NumPlanes).map { j =>
+    def sigBand(b: Int): Column = (0 until PlanesPerBand).map { p =>
+      val j = b * PlanesPerBand + p
       val dotPlane = aggregate(
         zip_with(col("emb"),
                  sequence(lit(0), size(col("emb")) - 1),
                  (x, i) => x * planeVal(j, i).cast("double")),
         lit(0.0), (acc, x) => acc + x)
-      when(dotPlane > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    val signed = e.withColumn("sig", sigBits.reduce(_ + _))
-    val cand = signed.select(col("vec_id").as("a"), col("emb").as("ea"),
-                             col("sig"))
-      .join(signed.select(col("vec_id").as("b"), col("emb").as("eb"),
-                          col("sig")), "sig")
+      when(dotPlane > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val signed = e.select(col("vec_id"), col("emb"),
+      explode(array((0 until NumBands).map(b =>
+        struct(lit(b).as("band"), sigBand(b).as("sig"))): _*)).as("bs"))
+      .select(col("vec_id"), col("emb"),
+              col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val small = signed.withColumn("bsize",
+      count(lit(1)).over(Window.partitionBy("band", "sig")))
+      .filter(col("bsize") <= MaxBucket)
+    val cand = small.select(col("vec_id").as("a"), col("emb").as("ea"),
+                            col("band"), col("sig"))
+      .join(small.select(col("vec_id").as("b"), col("emb").as("eb"),
+                         col("band"), col("sig")), Seq("band", "sig"))
       .filter(col("a") < col("b"))
+      .select("a", "b", "ea", "eb")
+      .dropDuplicates("a", "b") // a pair may collide in both bands
     cand.withColumn("cos", cosine(col("ea"), col("eb")))
       .filter(col("cos") >= 0.3)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
 
   val lshCosineSql: String = {
-    val sigExpr = (0 until NumPlanes).map { j =>
+    def sigExpr(b: Int) = (0 until PlanesPerBand).map { p =>
+      val j = b * PlanesPerBand + p
       s"""CASE WHEN list_sum(list_transform(range(1, len(emb)+1),
             i -> emb[i] * CAST((($j*31 + (i-1)) * 2654435761) % 1000 - 500
                           AS DOUBLE))) > 0
-          THEN ${1L << j} ELSE 0 END"""
+          THEN ${1L << p} ELSE 0 END"""
     }.mkString(" + ")
+    val bandUnion = (0 until NumBands)
+      .map(b => s"SELECT vec_id, emb, $b AS band, ${sigExpr(b)} AS sig FROM e")
+      .mkString(" UNION ALL ")
     s"""WITH e AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
           FROM embeddings),
-        signed AS (SELECT vec_id, emb, $sigExpr AS sig FROM e),
-        cand AS (SELECT x.vec_id AS a, x.emb AS ea, y.vec_id AS b, y.emb AS eb
-                 FROM signed x JOIN signed y
-                   ON x.sig = y.sig AND x.vec_id < y.vec_id),
+        signed AS ($bandUnion),
+        small AS (SELECT * FROM (SELECT *,
+            count(*) OVER (PARTITION BY band, sig) AS bsize FROM signed)
+          WHERE bsize <= $MaxBucket),
+        cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                 FROM small x JOIN small y
+                   ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id),
         scored AS (SELECT a, b,
-          list_sum(list_transform(range(1, len(ea)+1), i -> ea[i]*eb[i]))
-          / (sqrt(list_sum(list_transform(range(1, len(ea)+1), i -> ea[i]*ea[i])))
-           * sqrt(list_sum(list_transform(range(1, len(eb)+1), i -> eb[i]*eb[i]))))
+          list_sum(list_transform(range(1, len(ea.emb)+1), i -> ea.emb[i]*eb.emb[i]))
+          / (sqrt(list_sum(list_transform(range(1, len(ea.emb)+1), i -> ea.emb[i]*ea.emb[i])))
+           * sqrt(list_sum(list_transform(range(1, len(eb.emb)+1), i -> eb.emb[i]*eb.emb[i]))))
           AS cos
-          FROM cand)
+          FROM cand JOIN e ea ON cand.a=ea.vec_id JOIN e eb ON cand.b=eb.vec_id)
         SELECT a, b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.3"""
   }
 

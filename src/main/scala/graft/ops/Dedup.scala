@@ -20,8 +20,10 @@ import graft.core.Tables
   *    bounds it — the standard trick; true near-dups share RARE shingles.
   *  - MinHash+LSH is the linear-ish scale path: candidate pairs only within
   *    LSH band buckets, then exact-Jaccard verification of candidates.
-  *  - SimHash: 16-bit fingerprint, blocking on the top byte, Hamming<=3
-  *    verification; one shuffle per stage.
+  *  - SimHash: 64-bit fingerprint, 4x16-bit band blocking with the same
+  *    hot-bucket cap as MinHash+LSH, Hamming<=3 verification (pigeonhole:
+  *    Hamming<=3 over 4 bands guarantees one identical band, so banding
+  *    loses no recall); one shuffle per stage, never a quadratic block.
   */
 object Dedup {
 
@@ -225,56 +227,109 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** SimHash (16-bit) near-dup: per-token hash bits weighted-majority into a
-    * fingerprint; blocking on the high byte; Hamming distance <= 3.
-    * Token hash = Knuth multiplicative on the deterministic shingle id so the
-    * oracle can reproduce it bit-for-bit. */
+  /** SimHash band count / width. Hamming <= HammingMax < SimhashBands, so by
+    * pigeonhole every qualifying pair shares at least one IDENTICAL band —
+    * banded blocking has 100% recall (property-tested in OpsSpec). */
+  val SimhashBands = 4
+  val SimhashBandBits = 16
+  val HammingMax = 3
+
+  /** SimHash near-dup, 64-bit fingerprint with 4x16-bit BAND blocking + the
+    * MaxBucket hot-bucket cap (the scale-safe design: a fingerprint band
+    * value is one of 2^16 keys, so blocks shrink as the corpus grows instead
+    * of saturating; candidate pairs exist only inside capped band buckets —
+    * never a within-block self-join over n/256 docs like a high-byte block).
+    *
+    * Per-shingle 64 hash bits come from two 32-bit Knuth-multiplicative
+    * hashes of the deterministic md5-derived shingle id (both exactly
+    * reproducible in DuckDB integer arithmetic); per-doc bit-majority gives
+    * the fingerprint, materialized as 4 unsigned 16-bit band values f0..f3
+    * (no signed-64 overflow on either engine). Hamming distance is the sum
+    * of per-band bit_count(xor). Output (a, b, hamming <= 3). */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     // 24-bit sid: the 32-bit one overflows Long under the Knuth multiplier
     val sid24 = conv(substring(md5(to_binary(col("shingle"), lit("utf-8"))),
                                1, 6), 16, 10).cast("long")
+    // two independent 32-bit mixes -> 64 bit positions
     val dsh = sh.select(col("doc_id"), sid24.as("sid"))
-    val h = ((col("sid") * 2654435761L) % 4294967296L).as("h")
-    val bits = (0 until 16).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$j")
-    }
-    val fp = dsh.select(col("doc_id"), h)
-      .groupBy("doc_id").agg(bits.head, bits.tail: _*)
       .select(col("doc_id"),
-        (0 until 16).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("simhash"))
-    val blocked = fp.withColumn("block", shiftright(col("simhash"), 8))
-    blocked.select(col("doc_id").as("a"), col("simhash").as("fa"), col("block"))
-      .join(blocked.select(col("doc_id").as("b"), col("simhash").as("fb"),
-                           col("block")), "block")
+        ((col("sid") * 2654435761L) % 4294967296L).as("h1"),
+        ((col("sid") * 2246822519L) % 4294967296L).as("h2"))
+    def bitOf(j: Int): Column =
+      if (j < 32) shiftright(col("h1"), j).bitwiseAND(1)
+      else shiftright(col("h2"), j - 32).bitwiseAND(1)
+    val bitSums = (0 until 64).map { j =>
+      sum(when(bitOf(j) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val bandCols = (0 until SimhashBands).map { k =>
+      (0 until SimhashBandBits)
+        .map(j => when(col(s"b${k * SimhashBandBits + j}") > 0,
+                       lit(1L << j)).otherwise(0L))
+        .reduce(_ + _).as(s"f$k")
+    }
+    val fp = dsh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id") +: bandCols: _*)
+    // banded blocking: bucket key = (band index, band value), capped
+    val blocked = fp.select(col("doc_id"),
+      explode(array((0 until SimhashBands).map(k =>
+        struct(lit(k).as("band"), col(s"f$k").as("bval"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val small = blocked.withColumn("bsize",
+      count(lit(1)).over(Window.partitionBy("band", "bval")))
+      .filter(col("bsize") <= MaxBucket)
+    val cand = small.select(col("doc_id").as("a"), col("band"), col("bval"))
+      .join(small.select(col("doc_id").as("b"), col("band"), col("bval")),
+            Seq("band", "bval"))
       .filter(col("a") < col("b"))
-      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
-      .filter(col("hamming") <= 3)
+      .select("a", "b").distinct()
+    val hamming = (0 until SimhashBands)
+      .map(k => bit_count(col(s"fa$k").bitwiseXOR(col(s"fb$k"))))
+      .reduce(_ + _)
+    cand
+      .join(fp.select(col("doc_id").as("a") +:
+        (0 until SimhashBands).map(k => col(s"f$k").as(s"fa$k")): _*), "a")
+      .join(fp.select(col("doc_id").as("b") +:
+        (0 until SimhashBands).map(k => col(s"f$k").as(s"fb$k")): _*), "b")
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= HammingMax)
       .select("a", "b", "hamming")
   }
 
   val simhashSql: String = {
-    val bitSums = (0 until 16).map { j =>
-      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+    val bitSums = (0 until 64).map { j =>
+      val src = if (j < 32) s"(h1 >> $j)" else s"(h2 >> ${j - 32})"
+      s"sum(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
     }.mkString(", ")
-    val fpExpr = (0 until 16).map { j =>
-      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END"
-    }.mkString(" + ")
+    val bandExprs = (0 until SimhashBands).map { k =>
+      (0 until SimhashBandBits)
+        .map(j => s"CASE WHEN b${k * SimhashBandBits + j} > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ") + s" AS f$k"
+    }.mkString(", ")
+    val bandUnion = (0 until SimhashBands)
+      .map(k => s"SELECT doc_id, $k AS band, f$k AS bval FROM fp")
+      .mkString(" UNION ALL ")
+    val hammingExpr = (0 until SimhashBands)
+      .map(k => s"bit_count(xor(x.f$k, y.f$k))").mkString(" + ")
     s"""WITH sh AS ($shinglesSql),
         dsh AS (SELECT doc_id,
                   (('0x' || substring(md5(shingle), 1, 6))::BIGINT
-                   * 2654435761) % 4294967296 AS h
+                   * 2654435761) % 4294967296 AS h1,
+                  (('0x' || substring(md5(shingle), 1, 6))::BIGINT
+                   * 2246822519) % 4294967296 AS h2
                 FROM sh),
         bs AS (SELECT doc_id, $bitSums FROM dsh GROUP BY 1),
-        fp AS (SELECT doc_id, $fpExpr AS simhash FROM bs),
-        blocked AS (SELECT doc_id, simhash, simhash >> 8 AS block FROM fp)
-        SELECT x.doc_id AS a, y.doc_id AS b,
-          bit_count(xor(x.simhash, y.simhash)) AS hamming
-        FROM blocked x JOIN blocked y
-          ON x.block=y.block AND x.doc_id<y.doc_id
-        WHERE bit_count(xor(x.simhash, y.simhash)) <= 3"""
+        fp AS (SELECT doc_id, $bandExprs FROM bs),
+        blocked AS ($bandUnion),
+        small AS (SELECT * FROM (SELECT *,
+            count(*) OVER (PARTITION BY band, bval) AS bsize FROM blocked)
+          WHERE bsize <= $MaxBucket),
+        cand AS (SELECT DISTINCT u.doc_id AS a, v.doc_id AS b
+                 FROM small u JOIN small v
+                   ON u.band=v.band AND u.bval=v.bval AND u.doc_id<v.doc_id)
+        SELECT a, b, $hammingExpr AS hamming
+        FROM cand JOIN fp x ON cand.a=x.doc_id JOIN fp y ON cand.b=y.doc_id
+        WHERE $hammingExpr <= $HammingMax"""
   }
 
   /** Embedding-cosine near-dup: pairs within the same label partition with

@@ -31,6 +31,56 @@ class OpsSpec extends SparkSuite {
            s"missing: ${exact.diff(fast).take(5)}")
   }
 
+  test("simhash banded blocking finds ALL Hamming<=3 pairs (pigeonhole)") {
+    // property: for 64-bit fingerprints split into 4x16-bit bands, any pair
+    // with Hamming <= 3 shares at least one identical band — banded
+    // candidate generation (uncapped) has 100% recall vs brute force.
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(200)(rnd.nextLong())
+    // plant near-dups: flip 0-5 random bits off existing fingerprints
+    val fps = (base ++ base.take(60).map { f =>
+      (0 until rnd.nextInt(6)).foldLeft(f)((acc, _) =>
+        acc ^ (1L << rnd.nextInt(64)))
+    }).zipWithIndex.map { case (f, i) => (i.toLong, f) }
+    def band(f: Long, k: Int): Long = (f >>> (k * 16)) & 0xFFFFL
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps
+      if a < b && java.lang.Long.bitCount(fa ^ fb) <= Dedup.HammingMax
+    } yield (a, b)).toSet
+    val banded = (for {
+      (a, fa) <- fps; (b, fb) <- fps
+      if a < b && (0 until Dedup.SimhashBands).exists(k => band(fa, k) == band(fb, k))
+      if java.lang.Long.bitCount(fa ^ fb) <= Dedup.HammingMax
+    } yield (a, b)).toSet
+    assert(brute == banded, s"banded blocking missed ${brute.diff(banded).size} pairs")
+    assert(brute.nonEmpty, "fixture must contain planted near-dup pairs")
+  }
+
+  test("simhash: 64-bit banded pairs agree with the DataFrame operator") {
+    // the operator on sf0.001 returns exactly the capped-bucket banded pairs
+    val got = Dedup.simhash(spark, sf)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    // every reported pair really is Hamming <= 3 (verification is exact)
+    assert(got.forall(_._3 <= Dedup.HammingMax))
+    // and symmetric duplicates / self-pairs never appear
+    assert(got.forall(p => p._1 < p._2))
+  }
+
+  test("ann lshCosine: degenerate bucket (identical vectors) is capped, not quadratic") {
+    import graft.ops.Ann
+    // 3*MaxBucket identical vectors -> one signature bucket per band holding
+    // all of them; without the cap that is a (3*MaxBucket)^2/2 self-join in
+    // one task. With the cap the bucket is cut and yields NO candidates.
+    val n = Ann.MaxBucket * 3
+    val dir = SparkSuite.tempDir("graft-lsh-degenerate")
+    val vecs = (0 until n).map(i =>
+      (i.toLong, Array.fill(8)(1.0f), "x"))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Ann.lshCosine(spark, dir)
+    assert(out.isEmpty, "capped degenerate bucket must yield no candidate pairs")
+  }
+
   test("multimodal: mapPartitions decode == pure-Column decode") {
     val docs = graft.core.Tables.documents(spark, sf)
       .select(col("doc_id"),
