@@ -109,12 +109,55 @@ object CorpusGen {
     }
 
     private def tableBody(t: String, k: Int): String = {
+      // header row first: row 0 is ALWAYS the header (page_parser.py:416-418),
+      // so without it the first member would be swallowed as a header
       val rows = (members(t, k) :+ junkLabel)
         .flatMap(m => Seq("|-", s"| [[$m]] || note"))
       (Seq(s"== Overview ==",
            s"A table of each $t of ${countryName(k)}.",
-           s"== Table ==", "{|") ++ rows ++ Seq("|}")).mkString("\n")
+           s"== Table ==", "{|", "! Member !! Note") ++ rows ++
+       Seq("|}")).mkString("\n")
     }
+
+    /** Adversarial table page (F7): rowspan/colspan-affected rows must be
+      * skipped (their labels must NOT leak), a <2-cell row must kill its
+      * whole table, and a table with <3 data rows must be dropped —
+      * while the 3 clean rows still come through. */
+    private def spansBody: String =
+      Seq("== Spans ==",
+          "{|",
+          "! Name !! Note",
+          "|-",
+          "| [[Span Keep A]] || ok",
+          "|-",
+          "| rowspan=\"2\" | [[Span Keep B]] || ok",
+          "|-",
+          "| [[Span Orphan X]] under the rowspan",
+          "|-",
+          "| colspan=\"2\" | [[Span Drop A]]",
+          "|-",
+          "| [[Span Keep C]] || ok",
+          "|}",
+          "== Dead ==",
+          "{|",
+          "! H1 !! H2",
+          "|-",
+          "| [[Dead Table A]] || x",
+          "|-",
+          "| [[Dead Table B]] || y",
+          "|-",
+          "| [[Dead Table C]] || z",
+          "|-",
+          "| lonely",
+          "|}",
+          "== Narrow ==",
+          "{|",
+          "! H1 !! H2",
+          "|-",
+          "| [[Thin Table A]] || x",
+          "|-",
+          "| [[Thin Table B]] || y",
+          "|}").mkString("\n")
 
     /** A mixed-type listing per country: the TYPE rule must NOT fire (max
       * type share 1/4 < 0.75) while the RELATION rule must (all 4 linked
@@ -181,7 +224,10 @@ object CorpusGen {
         Page(s"https://example.org/de-liste-$k", new Timestamp(t0 + 999999L + k),
              htmlFor(body), body, "de")
       }
-      listPages ++ Seq(ada) ++ mixed ++ nonEn
+      val spans = Page("https://example.org/span-tables",
+                       new Timestamp(t0 - 180000L), htmlFor(spansBody),
+                       spansBody, "en")
+      listPages ++ Seq(ada, spans) ++ mixed ++ nonEn
     }
 
     // — expected pipeline output (computed from the same parameters) —
@@ -252,6 +298,12 @@ object CorpusGen {
       // min), B has "Ada Prime B".
       out += Triple("Ada Prime A", Preds.Label, "Ada Prime", true)
       out += Triple("Ada Prime B", Preds.Label, "Ada Prime B", true)
+      // the spans page: only the 3 clean data rows survive (all unknown →
+      // NIL label triples, no linked members → no rules); every
+      // Orphan/Drop/Dead/Thin label leaking here is an F7 bug caught by P/R
+      Seq("Span Keep A", "Span Keep B", "Span Keep C").foreach { m =>
+        out += Triple(newEnt(m), Preds.Label, m, true)
+      }
       out.toSeq
     }
   }

@@ -40,7 +40,7 @@ class LinkSpec extends SparkSuite {
     val keys = unlinked.select("key").distinct().as[String].collect()
     assert(keys.nonEmpty && keys.forall(k =>
       k.startsWith("mystery") || k.startsWith("mixedmystery") ||
-      k == "loremipsumfiller"))
+      k.startsWith("spankeep") || k == "loremipsumfiller"))
   }
 
   test("spelling redirect folds into the dictionary (lev guard holds)") {
