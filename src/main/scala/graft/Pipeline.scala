@@ -61,8 +61,10 @@ object Pipeline {
       if (seeds.redirects == null) seeds.aliases
       else AliasLink.foldRedirects(seeds.aliases, seeds.redirects)
     val dict = AliasLink.buildDict(aliasTable)
-    val linked = runner.run("linked") { AliasLink.link(mentions, dict)._1 }
-    val unlinked = runner.run("unlinked") { AliasLink.link(mentions, dict)._2 }
+    // ONE broadcast-join execution; linked/unlinked are filters over the
+    // checkpointed join output (ent nullable), not two separate stages
+    val linkedAll = runner.run("linked") { AliasLink.linkAll(mentions, dict) }
+    val (linked, unlinked) = AliasLink.splitLinked(linkedAll)
 
     // 3b. F9: drop frequent unknown labels (boilerplate) before clustering
     val keptUnlinked = runner.run("unlinked_kept") {

@@ -33,9 +33,15 @@ object ConnectedComponents {
     var iter = 0
     while (!converged && iter < 50) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // Converged when the (directed, deduped) edge set is unchanged.
-      converged = next.count() == e.count() &&
-        next.join(e, Seq("src", "dst"), "left_anti").isEmpty
+      // Converged when the (directed, deduped) edge set is unchanged —
+      // ONE action: both sides are distinct sets, so the edge sets are
+      // equal iff the symmetric difference (count==1 groups of the union)
+      // is empty. Fresh aliases keep the union children's exprIds disjoint.
+      def fresh(df: DataFrame): DataFrame =
+        df.select(df.columns.map(c => col(c).as(c)): _*)
+      converged = fresh(next).unionByName(fresh(e))
+        .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        .filter(col("c") === 1).isEmpty
       e = next
       iter += 1
     }

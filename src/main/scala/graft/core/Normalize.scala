@@ -74,28 +74,125 @@ object Normalize {
   /** Called from generated code — must be public + stable. */
   def aliasKeyJava(s: String): String = AliasKeyExpr.key(s)
 
-  /** Register the native expression in the session's function registry
+  /** Register the native expressions in the session's function registry
     * (idempotent; the public way to splice a custom Expression into plans). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    castToImpl(spark).sessionState.functionRegistry
-      .createOrReplaceTempFunction(
-        "alias_key", exprs => AliasKeyExpr(exprs.head), "built-in")
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = castToImpl(spark).sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "alias_key", exprs => AliasKeyExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nt_encode_resource",
+      exprs => NtCodec.NtEncodeResourceExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nt_escape_literal",
+      exprs => NtCodec.NtEscapeLiteralExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "canonical_label", exprs => CanonicalLabelExpr(exprs.head), "built-in")
+  }
 
   /** Column wrapper for the native expression. Requires [[register]] to have
     * run on the session (pipeline entry points and specs do). */
   def aliasKey(c: Column): Column = call_function("alias_key", c)
 
-  /** Canonical label (N3; semantics of the reference's by-phrase/split
-    * stripping, `/root/reference/impl/util/nlp.py:89-100`): drop trailing
-    * " by <x>" / " in <x>" phrases and parenthesised disambiguators, squash
-    * whitespace. Pure Catalyst regexp chain (cold path — runs per listing,
-    * not per mention). */
+  /** By-phrase exceptions, verbatim from the reference
+    * (`impl/util/spacy/components.py:89`). */
+  private val ByPhraseExceptions = Set(
+    "bell hooks", "DBC Pierre", "KT Tunstall", "U-Wei Saari",
+    "`Abdu'l-Bahá", "ibn Hazm", "2XL Games")
+
+  /** python str.isupper(): has a cased char and every cased char is upper. */
+  private def isAllUpper(w: String): Boolean =
+    w.exists(_.isLetter) && w.filter(_.isLetter).forall(_.isUpper)
+
+  /** NNS approximation (no POS tagger): lowercase-initial word that
+    * singularizes (plural common noun). Proper nouns ("Honduras") keep
+    * their capital and never trigger, matching spaCy's NNP vs NNS split. */
+  private def looksPluralNoun(w: String): Boolean =
+    w.nonEmpty && w.head.isLower && w.length > 3 && w.endsWith("s") &&
+      !w.endsWith("ss") && !w.endsWith("us") && !w.endsWith("is")
+
+  /** VBN approximation: -ed participle or a small irregular list. */
+  private val IrregularParticiples = Set(
+    "born", "made", "written", "sung", "held", "known", "set", "built",
+    "found", "won", "given", "taken", "drawn", "seen")
+  private def looksParticiple(w: String): Boolean = {
+    val l = w.toLowerCase
+    l.endsWith("ed") || IrregularParticiples(l)
+  }
+
+  /** N4: remove the organisational 'by'-phrase — a faithful port of the
+    * reference's tagger rules (`impl/util/spacy/components.py:92-117` +
+    * `impl/util/nlp.py:129-140`), POS judgments approximated as documented
+    * on [[looksPluralNoun]]/[[looksParticiple]] (the lexhead co-occurrence
+    * rule is not ported — no lexhead tags here). Pinned by the reference's
+    * own unit pairs (`tests/unit/util/test_nlp.py:17-23`). */
+  def removeByPhraseJava(s: String): String = {
+    val toks = s.split("\\s+").filter(_.nonEmpty)
+    val byIdx = toks.indices.filter(toks(_) == "by")
+    if (byIdx.isEmpty) return s
+    // words after the by-phrase (e.g. 'in Honduras') are kept
+    var endIndex = toks.length
+    val afterLastBy = toks.drop(byIdx.last + 1)
+    if (afterLastBy.contains("in"))
+      endIndex = byIdx.last + 1 + afterLastBy.indexOf("in")
+    else if (afterLastBy.contains("from"))
+      endIndex = byIdx.last + 1 + afterLastBy.indexOf("from")
+    for ((bi, k) <- byIdx.zipWithIndex) {
+      val curEnd = if (k == byIdx.length - 1) endIndex else byIdx(k + 1)
+      val valid =
+        bi != 0 && bi != toks.length - 1 && {
+          val after = toks.slice(bi + 1, curEnd)
+          val textAfter = after.mkString(" ")
+          after.nonEmpty && textAfter.nonEmpty &&
+          !ByPhraseExceptions(textAfter) && {
+            val w = after.head
+            // capitalized (and not an all-caps acronym) → a name, keep
+            !(w.head.isUpper && (w.endsWith(".") || !isAllUpper(w)))
+          } &&
+          !toks.drop(bi + 1).exists(looksPluralNoun) &&
+          !looksParticiple(toks(bi - 1)) &&
+          !Set("a", "an", "the")(toks(bi + 1))
+        }
+      if (valid)
+        return (toks.take(bi) ++ toks.drop(endIndex)).mkString(" ")
+    }
+    s
+  }
+
+  /** N3 canonical label: by-phrase removal + the reference's alphabetical-
+    * split scrubbers, ported regex-for-regex from
+    * `/root/reference/impl/util/nlp.py:89-100` (get_canonical_label). */
+  def canonicalLabelJava(s: String): String = {
+    var t = removeByPhraseJava(s)
+    t = t.replaceAll("\\s*/[A-Za-z]+:\\s*[A-Za-z](\\s*[-–]\\s*[A-Za-z])?$", "")
+    t = t.replaceAll("\\s+\\([^()]+[-–][^()]+\\)$", "")
+    t = t.replaceAll("\\s+\\([A-Z]\\)$", "")
+    t = t.replaceAll("\\s*[-:,–]\\s*[A-Z][a-z]*\\s?[-–]\\s?[A-Z][a-z]*$", "")
+    t = t.replaceAll("\\s*[-:–]\\s*([A-Z],\\s*)*[A-Z]$", "")
+    t = t.replaceAll("\\s*/([A-Z],\\s*)*[A-Z]$", "")
+    t = t.replaceAll("\\s+([A-Z],\\s*)+[A-Z]$", "")
+    t = t.replaceAll("\\s*:\\s*..?\\s*[-–]\\s*..?$", "")
+    t.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      .replaceAll(",+$", "")
+  }
+
+  case class CanonicalLabelExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(
+        canonicalLabelJava(input.asInstanceOf[UTF8String].toString))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = UTF8String.fromString(" +
+          s"graft.core.Normalize.canonicalLabelJava($c.toString()));")
+    override protected def withNewChildInternal(newChild: Expression): CanonicalLabelExpr =
+      copy(child = newChild)
+  }
+
+  /** Column form; requires [[register]] (pipeline entry points and specs
+    * do). Cold path — runs per listing/category, not per mention. */
   def canonicalLabel(c: Column): Column =
-    trim(regexp_replace(regexp_replace(regexp_replace(
-      c,
-      "\\s*\\([^)]*\\)\\s*$", ""),        // trailing (disambiguator)
-      "\\s+(by|in|of|from)\\s+.*$", ""),  // trailing by-phrase
-      "\\s+", " "))
+    call_function("canonical_label", c)
 
   /** Naive deterministic plural→singular (N6 semantics;
     * `/root/reference/impl/util/nlp.py:143-161`): rule-based, no dictionary

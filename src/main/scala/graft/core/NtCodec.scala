@@ -1,45 +1,122 @@
 package graft.core
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
-/** N-Triples serialization as pure Catalyst Column expressions (S7/N10;
-  * reference semantics: resource percent-encoding + literal escaping +
-  * xsd-typing at `/root/reference/impl/util/serialize.py:11-77` and IRI
-  * codecs at `/root/reference/impl/util/rdf.py:110-141`).
+/** N-Triples serialization (S7/N10) as NATIVE single-pass Catalyst
+  * expressions with `doGenCode` — the triple writer is one whole-stage-
+  * codegen'd projection feeding `write.partitionBy("pred")`; at 10^11
+  * triples the NT encoding IS the write amplification, so each string is
+  * rewritten exactly once (the previous regexp_replace fold rewrote every
+  * value ~15 times).
   *
-  * Implemented as expression chains (not UDFs) so the triple writer is one
-  * whole-stage-codegen'd projection feeding `write.partitionBy("pred")` —
-  * at 10^11 triples the NT encoding IS the write amplification.
+  * Reference semantics, pinned by the reference's own unit goldens
+  * (`/root/reference/tests/unit/util/test_serialize.py:6-15`):
+  *  - resource names: wiki-style space→underscore (`rdf.py:135`), then
+  *    percent-encode every byte outside urllib's unreserved set EXCEPT the
+  *    readability exceptions # : , ; ( ) ' & ! * = $
+  *    (`serialize.py:16,63-71` — e.g. `"` → %22, `/` → %2F, `_` kept);
+  *  - literals: escape \ and ", then whitespace-squash
+  *    (`serialize.py:17,74-77` + `string.py:8-9` regularize_spaces — so
+  *    control whitespace never reaches the literal);
+  *  - xsd typing by literal shape (`serialize.py:11-14,22-29`).
   */
 object NtCodec {
 
   private val Base = "http://graft.example.org/resource/"
   private val PredBase = "http://graft.example.org/ontology/"
 
-  /** Percent-encode the characters N-Triples forbids inside an IRI
-    * (space, quotes, angle brackets, backslash, braces, pipe, caret,
-    * backtick) and map spaces to underscores first (wiki-style resource
-    * naming, ≙ name2iri `impl/dbpedia/util.py:6-16` semantics). */
-  def encodeResourceName(c: Column): Column = {
-    val underscored = regexp_replace(c, " ", "_")
-    Seq("%" -> "%25", "\"" -> "%22", "<" -> "%3C", ">" -> "%3E",
-        "\\|" -> "%7C", "\\^" -> "%5E", "`" -> "%60", "\\{" -> "%7B",
-        "\\}" -> "%7D", "\\\\" -> "%5C")
-      .foldLeft(underscored) { case (acc, (from, to)) =>
-        regexp_replace(acc, from, to)
+  /** quote()'s unreserved set + the reference's encoding exceptions. */
+  private def keepAsIs(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+    (c >= '0' && c <= '9') || "_.~-" .indexOf(c) >= 0 ||
+    "#:,;()'&!*=$".indexOf(c) >= 0
+
+  /** Single pass: space→'_', keep unreserved+exceptions, %XX-encode the
+    * UTF-8 bytes of everything else (uppercase hex, like urllib.quote). */
+  def encodeResourceJava(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ') sb.append('_')
+      else if (keepAsIs(c)) sb.append(c)
+      else {
+        val bytes = String.valueOf(c).getBytes("UTF-8")
+        var j = 0
+        while (j < bytes.length) {
+          sb.append('%')
+          sb.append(String.format("%02X", Byte.box(bytes(j))))
+          j += 1
+        }
       }
+      i += 1
+    }
+    sb.toString
   }
 
-  /** Escape a literal per the N-Triples grammar: backslash, quote, LF, CR,
-    * TAB. */
-  def escapeLiteral(c: Column): Column =
-    Seq("\\\\" -> "\\\\\\\\", "\"" -> "\\\\\"", "\n" -> "\\\\n",
-        "\r" -> "\\\\r", "\t" -> "\\\\t")
-      .foldLeft(c) { case (acc, (from, to)) =>
-        // regexp_replace on the escaped pattern; replacement is literal-ish
-        regexp_replace(acc, from, to)
+  /** Single pass: escape \ and ", squash whitespace runs to one space,
+    * trim (≡ escape + ' '.join(text.split())). */
+  def escapeLiteralJava(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        if (c == '\\') sb.append("\\\\")
+        else if (c == '"') sb.append("\\\"")
+        else sb.append(c)
       }
+      i += 1
+    }
+    sb.toString
+  }
+
+  abstract class NtStringExpr extends UnaryExpression {
+    override def dataType: DataType = StringType
+    /** fully-qualified static method called from generated code */
+    def javaFn: String
+    def eval(s: String): String
+    override def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(eval(input.asInstanceOf[UTF8String].toString))
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = UTF8String.fromString($javaFn($c.toString()));")
+  }
+
+  case class NtEncodeResourceExpr(child: Expression) extends NtStringExpr {
+    def javaFn: String = "graft.core.NtCodec.encodeResourceJava"
+    def eval(s: String): String = encodeResourceJava(s)
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  case class NtEscapeLiteralExpr(child: Expression) extends NtStringExpr {
+    def javaFn: String = "graft.core.NtCodec.escapeLiteralJava"
+    def eval(s: String): String = escapeLiteralJava(s)
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  /** Percent-encode a resource NAME (≙ _encode_resource + label2name).
+    * Resolves through the session function registry (the public way to
+    * splice a custom Expression into plans) — [[Normalize.register]] must
+    * have run on the session; pipeline entry points and specs do. */
+  def encodeResourceName(c: Column): Column =
+    call_function("nt_encode_resource", c)
+
+  /** Escape a literal per the reference (backslash, quote, space-squash). */
+  def escapeLiteral(c: Column): Column =
+    call_function("nt_escape_literal", c)
 
   /** xsd datatype tag by literal shape (≙ int/float/date typing,
     * `impl/util/serialize.py:22-29`). */

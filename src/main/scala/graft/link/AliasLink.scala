@@ -76,18 +76,26 @@ object AliasLink {
     * (no partitioning by key exists to skew); [[linkShuffle]] is the salted
     * fallback for dictionaries beyond the broadcast threshold and is tested
     * result-identical. */
-  def link(mentions: DataFrame, dict: DataFrame): (DataFrame, DataFrame) = {
+  /** The single-execution form: mentions × dict in ONE broadcast join,
+    * `ent` nullable (null = unlinked). The pipeline checkpoints THIS frame
+    * once and derives linked/unlinked as filters over the checkpoint, so
+    * the broadcast join and the mention scan run exactly once per run
+    * (the previous two-invocation shape planned and executed them twice). */
+  def linkAll(mentions: DataFrame, dict: DataFrame): DataFrame = {
     val keyed = mentions.withColumn("key", Normalize.aliasKey(col("label")))
     val best = bestPerKey(dict).drop("is_hot")
-    val joined = keyed.join(broadcast(best), Seq("key"), "left_outer")
-    val cols = Seq("url", "listing_key", "item_idx", "mention_id", "label",
-                   "key")
-    val linked = joined.filter(col("ent").isNotNull)
-      .select((cols :+ "ent").map(col): _*)
-    val unlinked = joined.filter(col("ent").isNull)
-      .select(cols.map(col): _*)
-    (linked, unlinked)
+    keyed.join(broadcast(best), Seq("key"), "left_outer")
+      .select(col("url"), col("listing_key"), col("item_idx"),
+              col("mention_id"), col("label"), col("key"), col("ent"))
   }
+
+  /** Convenience split over [[linkAll]]'s output. */
+  def splitLinked(joined: DataFrame): (DataFrame, DataFrame) =
+    (joined.filter(col("ent").isNotNull),
+     joined.filter(col("ent").isNull).drop("ent"))
+
+  def link(mentions: DataFrame, dict: DataFrame): (DataFrame, DataFrame) =
+    splitLinked(linkAll(mentions, dict))
 
   /** Shuffle-join fallback for alias dictionaries too large to broadcast
     * (10^9-surface-form scale): the mention side is shuffled BY KEY, which

@@ -28,15 +28,53 @@ class NormalizeNtSpec extends SparkSuite {
     assert(got.toSeq == cases.map(_._2))
   }
 
-  test("canonical label strips by-phrases and disambiguators") {
+  test("by-phrase removal reproduces the reference's unit pairs") {
+    // tests/unit/util/test_nlp.py:17-23, verbatim
+    val cases = Seq(
+      "Work by Roy Lichtenstein" -> "Work by Roy Lichtenstein",
+      "Work by L. J. Smith" -> "Work by L. J. Smith",
+      "Song recorded by ABBA" -> "Song recorded by ABBA",
+      "Alumni by university or college in Honduras" -> "Alumni in Honduras",
+      "Countries by GDP per capita" -> "Countries")
+    cases.foreach { case (in, want) =>
+      assert(Normalize.removeByPhraseJava(in) == want, s"by-phrase: $in")
+    }
+  }
+
+  test("canonical label strips by-phrases and alphabetical splits") {
+    // the split-scrubber examples are the reference's own regex doc-strings
+    // (impl/util/nlp.py:91-99)
     val cases = Seq(
       "Princesses by country" -> "Princesses",
-      "Berlin (city)" -> "Berlin",
-      "Lists  of   rivers" -> "Lists", // "of"-phrase then squash
+      "Fellows of the Royal Society/name: A-C" -> "Fellows of the Royal Society",
+      "Interstate roads (1-10)" -> "Interstate roads",
+      "Interstate roads (Y)" -> "Interstate roads",
+      "Drugs: Sp-Sub" -> "Drugs",
+      "Football clubs in Sweden - Z" -> "Football clubs in Sweden",
+      "Fellows of the Royal Society/A" -> "Fellows of the Royal Society",
+      "Fellows of the Royal Society A, B, C" -> "Fellows of the Royal Society",
+      // the reference's regex ORDER makes rule 5 eat ' - K' first, so its
+      // output is '...Society: !' (verified against nlp.py:89-100 in
+      // CPython), not the docstring's aspirational '...Society'
+      "Fellows of the Royal Society: ! - K" -> "Fellows of the Royal Society: !",
+      "Lists  with   spaces" -> "Lists with spaces",
       "Plain" -> "Plain")
+    cases.foreach { case (in, want) =>
+      assert(Normalize.canonicalLabelJava(in) == want, s"scala path: $in")
+    }
+    // expression path (codegen) must agree with the scala path
     val got = cases.map(_._1).toDF("s")
       .select(Normalize.canonicalLabel(col("s"))).as[String].collect()
     assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("plural lexhead (F5 conceptual) reproduces the reference's pairs") {
+    // tests/unit/util/test_nlp.py:31-36
+    val cats = Seq("Reptiles", "Princesses", "African musical instruments",
+                   "London").toDF("label")
+    val got = graft.mine.Categories.conceptual(cats).as[String].collect().toSet
+    assert(got == Set("Reptiles", "Princesses",
+                      "African musical instruments"))
   }
 
   test("singularize") {
@@ -52,6 +90,8 @@ class NormalizeNtSpec extends SparkSuite {
 
   test("NT lines: resource encoding, literal escaping, xsd typing") {
     val rows = Seq(
+      // literal whitespace is SQUASHED per the reference's
+      // regularize_spaces (serialize.py:77), never backslash-escaped
       ("Ada Prime", "rdfs:label", "Ada \"the first\"\nprogrammer", true),
       ("Ada Prime", "rdfs:label", "42", true),
       ("Ada Prime", "rdfs:label", "3.14", true),
@@ -63,7 +103,7 @@ class NormalizeNtSpec extends SparkSuite {
     val B = "http://graft.example.org/resource/"
     val O = "http://graft.example.org/ontology/"
     assert(got(0) == s"<${B}Ada_Prime> <${O}label> " +
-      "\"Ada \\\"the first\\\"\\nprogrammer\"@en .")
+      "\"Ada \\\"the first\\\" programmer\"@en .")
     assert(got(1) == s"<${B}Ada_Prime> <${O}label> " +
       "\"42\"^^<http://www.w3.org/2001/XMLSchema#integer> .")
     assert(got(2) == s"<${B}Ada_Prime> <${O}label> " +
@@ -71,5 +111,31 @@ class NormalizeNtSpec extends SparkSuite {
     assert(got(3) == s"<${B}Ada_Prime> <${O}label> " +
       "\"2026-08-16\"^^<http://www.w3.org/2001/XMLSchema#date> .")
     assert(got(4) == s"<${B}A%3Cb%3E%7Cc> <${O}type> <${B}Person> .")
+  }
+
+  test("NT encoding reproduces the reference's unit goldens") {
+    // tests/unit/util/test_serialize.py:6-15, verbatim pairs
+    assert(NtCodec.encodeResourceJava("12\"/50_caliber_Mark_8_gun") ==
+           "12%22%2F50_caliber_Mark_8_gun")
+    assert(NtCodec.escapeLiteralJava("12\"/50 caliber Mark 8 gun") ==
+           "12\\\"/50 caliber Mark 8 gun")
+    // RESOURCE_ENCODING_EXCEPTIONS stay readable (serialize.py:16)
+    assert(NtCodec.encodeResourceJava("#:,;()'&!*=$") == "#:,;()'&!*=$")
+    // non-ASCII goes through UTF-8 percent-encoding like urllib.quote
+    assert(NtCodec.encodeResourceJava("Café") == "Caf%C3%A9")
+    assert(NtCodec.encodeResourceJava("a b") == "a_b")
+    // literal whitespace squash ≡ ' '.join(s.split())
+    assert(NtCodec.escapeLiteralJava("  a\t\nb  c ") == "a b c")
+  }
+
+  test("NT expression path (codegen) agrees with the scala path") {
+    val ins = Seq("12\"/50_caliber Mark 8 gun", "Café #1: a,b;c (d) 'e'!",
+                  "plain", "")
+    val gotRes = ins.toDF("s")
+      .select(NtCodec.encodeResourceName(col("s"))).as[String].collect()
+    assert(gotRes.toSeq == ins.map(NtCodec.encodeResourceJava))
+    val gotLit = ins.toDF("s")
+      .select(NtCodec.escapeLiteral(col("s"))).as[String].collect()
+    assert(gotLit.toSeq == ins.map(NtCodec.escapeLiteralJava))
   }
 }
