@@ -97,6 +97,48 @@ object Bench {
     val nTriples = triples.count()
     val pipelineSec = (System.nanoTime() - tP0) / 1e9
 
+    // NT-render A/B: the single-pass native expression vs the previous
+    // ~15-step regexp_replace fold, over the same replicated triple table
+    // (full evaluation forced through an aggregate, no write overhead)
+    val ntRep = math.max(1L, 2000000L / math.max(1L, nTriples))
+    val tripBig = triples.crossJoin(spark.range(ntRep)).drop("id")
+      .localCheckpoint()
+    def renderTime(line: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      tripBig.select(line.as("value"))
+        .agg(sum(length(col("value")))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def legacyLine: org.apache.spark.sql.Column = {
+      // the round-1 regex-fold implementation, reproduced for the A/B
+      def encodeRes(c: org.apache.spark.sql.Column) =
+        Seq("%" -> "%25", "\"" -> "%22", "<" -> "%3C", ">" -> "%3E",
+            "\\|" -> "%7C", "\\^" -> "%5E", "`" -> "%60", "\\{" -> "%7B",
+            "\\}" -> "%7D", "\\\\" -> "%5C")
+          .foldLeft(regexp_replace(c, " ", "_")) { case (acc, (f, t)) =>
+            regexp_replace(acc, f, t)
+          }
+      def escLit(c: org.apache.spark.sql.Column) =
+        Seq("\\\\" -> "\\\\\\\\", "\"" -> "\\\\\"", "\n" -> "\\\\n",
+            "\r" -> "\\\\r", "\t" -> "\\\\t")
+          .foldLeft(c) { case (acc, (f, t)) => regexp_replace(acc, f, t) }
+      val B = "http://graft.example.org/resource/"
+      val O = "http://graft.example.org/ontology/"
+      concat(lit("<" + B), encodeRes(col("subj")), lit("> "),
+        lit("<" + O), encodeRes(regexp_replace(col("pred"), "^[a-z]+:", "")),
+        lit("> "),
+        when(col("is_literal"),
+             concat(lit("\""), escLit(col("obj")), lit("\"@en")))
+          .otherwise(concat(lit("<" + B), encodeRes(col("obj")), lit(">"))),
+        lit(" ."))
+    }
+    def nativeLine = graft.core.NtCodec.ntLine(
+      col("subj"), col("pred"), col("obj"), col("is_literal"))
+    renderTime(nativeLine) // warm-up JIT + checkpoint scan
+    val ntRegexSec = renderTime(legacyLine)
+    val ntNativeSec = renderTime(nativeLine)
+    val ntRows = nTriples * ntRep
+
     spark.stop()
 
     // ---- scaling measurement: fresh session per level, warm-up +
@@ -167,6 +209,9 @@ object Bench {
       s""""pipeline_sec":$pipelineSec,""" +
       s""""pipeline_pages_per_s":${nPages / pipelineSec},""" +
       s""""pipeline_triples_per_s":${nTriples / pipelineSec},""" +
+      s""""nt_render":{"rows":$ntRows,"native_sec":$ntNativeSec,""" +
+      s""""regex_fold_sec":$ntRegexSec,""" +
+      s""""speedup":${ntRegexSec / ntNativeSec}},""" +
       s""""scaling":{"levels":[${levels.mkString(",")}],$thrJson,""" +
       s""""efficiency":$effN4N,"efficiency_hi_pair":$effHi,""" +
       s""""efficiency_rounds":[${

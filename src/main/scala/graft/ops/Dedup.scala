@@ -270,30 +270,34 @@ object Dedup {
     }
     val fp = dsh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id") +: bandCols: _*)
-    // banded blocking: bucket key = (band index, band value), capped
-    val blocked = fp.select(col("doc_id"),
+    // banded blocking: bucket key = (band index, band value), capped.
+    // Every blocked row CARRIES its full 4-band fingerprint so Hamming
+    // verification happens inline on the joined pair — re-joining `fp`
+    // would recompute the whole shingle aggregation (2 extra corpus
+    // passes at scale).
+    val fullFp = (0 until SimhashBands).map(k => col(s"f$k"))
+    val blocked = fp.select((col("doc_id") +: fullFp) :+
       explode(array((0 until SimhashBands).map(k =>
-        struct(lit(k).as("band"), col(s"f$k").as("bval"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+        struct(lit(k).as("band"), col(s"f$k").as("bval"))): _*)).as("bk"): _*)
+      .select((col("doc_id") +: fullFp) :+ col("bk.band").as("band") :+
+              col("bk.bval").as("bval"): _*)
     val small = blocked.withColumn("bsize",
       count(lit(1)).over(Window.partitionBy("band", "bval")))
       .filter(col("bsize") <= MaxBucket)
-    val cand = small.select(col("doc_id").as("a"), col("band"), col("bval"))
-      .join(small.select(col("doc_id").as("b"), col("band"), col("bval")),
-            Seq("band", "bval"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
     val hamming = (0 until SimhashBands)
       .map(k => bit_count(col(s"fa$k").bitwiseXOR(col(s"fb$k"))))
       .reduce(_ + _)
-    cand
-      .join(fp.select(col("doc_id").as("a") +:
-        (0 until SimhashBands).map(k => col(s"f$k").as(s"fa$k")): _*), "a")
-      .join(fp.select(col("doc_id").as("b") +:
-        (0 until SimhashBands).map(k => col(s"f$k").as(s"fb$k")): _*), "b")
+    small.select(col("doc_id").as("a") +: col("band") +: col("bval") +:
+        (0 until SimhashBands).map(k => col(s"f$k").as(s"fa$k")): _*)
+      .join(small.select(col("doc_id").as("b") +: col("band") +:
+          col("bval") +:
+          (0 until SimhashBands).map(k => col(s"f$k").as(s"fb$k")): _*),
+        Seq("band", "bval"))
+      .filter(col("a") < col("b"))
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= HammingMax)
       .select("a", "b", "hamming")
+      .dropDuplicates("a", "b") // a pair may collide in several bands
   }
 
   val simhashSql: String = {
