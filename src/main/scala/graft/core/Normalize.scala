@@ -88,6 +88,12 @@ object Normalize {
       exprs => NtCodec.NtEscapeLiteralExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "canonical_label", exprs => CanonicalLabelExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nt_decode_resource",
+      exprs => NtCodec.NtDecodeResourceExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nt_unescape_literal",
+      exprs => NtCodec.NtUnescapeLiteralExpr(exprs.head), "built-in")
   }
 
   /** Column wrapper for the native expression. Requires [[register]] to have

@@ -80,6 +80,52 @@ object NtCodec {
     sb.toString
   }
 
+  /** Inverse of [[encodeResourceJava]] (≙ iri2name + urllib.unquote,
+    * `rdf.py:110-120,139-140`): '_'→space, full %XX UTF-8 percent-decode.
+    * Lossy like the reference: original underscores become spaces. */
+  def decodeResourceJava(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+          i += 3
+        } catch {
+          case _: NumberFormatException =>
+            out.write('%'); i += 1
+        }
+      } else if (c == '_') { out.write(' '); i += 1 }
+      else {
+        val bytes = String.valueOf(c).getBytes("UTF-8")
+        out.write(bytes, 0, bytes.length)
+        i += 1
+      }
+    }
+    new String(out.toByteArray, "UTF-8")
+  }
+
+  /** Inverse of [[escapeLiteralJava]]'s escaping (single pass). */
+  def unescapeLiteralJava(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\'); i += 2
+          case '"'  => sb.append('"'); i += 2
+          case 'n'  => sb.append('\n'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case _    => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   abstract class NtStringExpr extends UnaryExpression {
     override def dataType: DataType = StringType
     /** fully-qualified static method called from generated code */
@@ -103,6 +149,20 @@ object NtCodec {
   case class NtEscapeLiteralExpr(child: Expression) extends NtStringExpr {
     def javaFn: String = "graft.core.NtCodec.escapeLiteralJava"
     def eval(s: String): String = escapeLiteralJava(s)
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  case class NtDecodeResourceExpr(child: Expression) extends NtStringExpr {
+    def javaFn: String = "graft.core.NtCodec.decodeResourceJava"
+    def eval(s: String): String = decodeResourceJava(s)
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+  }
+
+  case class NtUnescapeLiteralExpr(child: Expression) extends NtStringExpr {
+    def javaFn: String = "graft.core.NtCodec.unescapeLiteralJava"
+    def eval(s: String): String = unescapeLiteralJava(s)
     override protected def withNewChildInternal(newChild: Expression) =
       copy(child = newChild)
   }

@@ -97,6 +97,35 @@ object AliasLink {
   def link(mentions: DataFrame, dict: DataFrame): (DataFrame, DataFrame) =
     splitLinked(linkAll(mentions, dict))
 
+  /** M5 scorer seam: context-DEPENDENT candidate scoring (the structural
+    * slot a bi-/cross-encoder plugs into; reference
+    * `matching/crossencoder.py:81-104`). Candidates = mention × all dict
+    * entries for its key (broadcast join, corpus side unshuffled); `scorer`
+    * is any Column over the joined row (mention cols url/label/key +
+    * candidate cols ent/freq) — a neural scorer would materialize this
+    * column via an M2-style batched mapPartitions instead; the join/argmax
+    * machinery is identical. Argmax per MENTION (W2 mention-side window,
+    * score desc → freq desc → ent asc): one shuffle keyed by mention_id —
+    * the one structural difference from the prior-based [[link]], exactly
+    * as documented on [[bestPerKey]].
+    *
+    * With `scorer = col("freq")` this is provably [[link]] (asserted in
+    * LinkSpec). Returns (linked, unlinked). */
+  def linkScored(mentions: DataFrame, dict: DataFrame,
+                 scorer: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+    val keyed = mentions.withColumn("key", Normalize.aliasKey(col("label")))
+    val cand = keyed.join(broadcast(dict.drop("is_hot")), Seq("key"),
+                          "left_outer")
+    val w = Window.partitionBy("mention_id")
+      .orderBy(col("cand_score").desc, col("freq").desc, col("ent").asc)
+    val best = cand.withColumn("cand_score", scorer)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("url"), col("listing_key"), col("item_idx"),
+              col("mention_id"), col("label"), col("key"), col("ent"))
+    splitLinked(best)
+  }
+
   /** Shuffle-join fallback for alias dictionaries too large to broadcast
     * (10^9-surface-form scale): the mention side is shuffled BY KEY, which
     * skews on head entities ("usa"-class aliases) — so hot keys are SALTED:

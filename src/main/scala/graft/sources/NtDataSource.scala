@@ -1,0 +1,163 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** N-Triples DataSourceV2 (S2 as a first-class connector):
+  * `spark.read.format("graft-nt").load(dir)` → (subj, pred, obj,
+  * is_literal). The V2 surface buys what the text+regexp path cannot
+  * express:
+  *  - one InputPartition per .nt/text file (partitioned triple dumps — the
+  *    reference's 17 per-predicate files — parallelize file-wise with no
+  *    exchange);
+  *  - COLUMN PRUNING pushed into the reader (`SupportsPushDownRequiredColumns`
+  *    — a subj-only projection never materializes pred/obj strings);
+  *  - `is_literal` EqualTo FILTER pushdown (`SupportsPushDownFilters` — an
+  *    object-triples-only read skips literal rows inside the reader).
+  *
+  * Registered via META-INF/services (DataSourceRegister, short name
+  * "graft-nt"). Line semantics are exactly [[NtSource.parseLine]] — the
+  * DSv2 path and the regex/DataFrame path are equality-tested.
+  */
+class NtDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-nt"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NtDataSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new NtTable(properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object NtDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("subj", StringType, nullable = false),
+    StructField("pred", StringType, nullable = false),
+    StructField("obj", StringType, nullable = false),
+    StructField("is_literal", BooleanType, nullable = false)))
+}
+
+class NtTable(path: String) extends Table with SupportsRead {
+  require(path != null, "graft-nt needs a path: .load(dir)")
+  override def name(): String = s"graft-nt($path)"
+  override def schema(): StructType = NtDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NtScanBuilder(path)
+}
+
+class NtScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = NtDataSource.Schema
+  private var isLiteralFilter: Option[Boolean] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case EqualTo("is_literal", v: java.lang.Boolean) => true
+      case EqualTo("is_literal", _: Boolean) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo(_, v: java.lang.Boolean) => isLiteralFilter = Some(v)
+      case EqualTo(_, v: Boolean) => isLiteralFilter = Some(v)
+      case _ =>
+    }
+    pushed = accepted
+    rest // everything else is evaluated post-scan by Spark
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new NtScan(path, required, isLiteralFilter)
+}
+
+class NtScan(path: String, required: StructType,
+             isLiteralFilter: Option[Boolean]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-nt path=$path, columns=${required.fieldNames.mkString(",")}" +
+      isLiteralFilter.map(v => s", pushed is_literal=$v").getOrElse("")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: Path): Unit = {
+      val st = fs.listStatus(p)
+      st.foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) ()
+        else if (s.isDirectory) walk(s.getPath)
+        else files += s.getPath.toString
+      }
+    }
+    walk(root)
+    files.sorted.map(f => NtInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NtReaderFactory(required.fieldNames, isLiteralFilter)
+}
+
+case class NtInputPartition(file: String) extends InputPartition
+
+class NtReaderFactory(columns: Array[String],
+                      isLiteralFilter: Option[Boolean])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new NtPartitionReader(partition.asInstanceOf[NtInputPartition].file,
+                          columns, isLiteralFilter)
+}
+
+class NtPartitionReader(file: String, columns: Array[String],
+                        isLiteralFilter: Option[Boolean])
+    extends PartitionReader[InternalRow] {
+  private val fs = new Path(file).getFileSystem(new Configuration())
+  private val in = new java.io.BufferedReader(
+    new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = in.readLine()
+    while (line != null) {
+      NtSource.parseLine(line) match {
+        case Some((s, p, o, isLit))
+            if isLiteralFilter.forall(_ == isLit) =>
+          current = InternalRow.fromSeq(columns.toSeq.map {
+            case "subj" => UTF8String.fromString(s)
+            case "pred" => UTF8String.fromString(p)
+            case "obj" => UTF8String.fromString(o)
+            case "is_literal" => isLit
+          })
+          return true
+        case _ => // non-triple line or filtered out
+      }
+      line = in.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

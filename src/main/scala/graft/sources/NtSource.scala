@@ -2,16 +2,20 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.NtCodec
 
 /** N-Triples text source (S2; reference: the regex line parser
   * `/root/reference/impl/util/rdf.py:144-161` with its separate
-  * object-triple and literal-triple patterns) — `spark.read.text` +
-  * `regexp_extract` into (subj, pred, obj, is_literal), the inverse of
+  * object-triple and literal-triple patterns) — the inverse of
   * [[graft.core.NtCodec]]. Round-trip (emit → parse) is asserted in
-  * NtRoundTripSpec.
+  * SourcesChunkSpec.
   *
-  * Pure projection over a text scan: predicate/line filters push into the
-  * scan; no shuffle.
+  * Two read paths:
+  *  - [[parse]]/[[read]]: text scan + regexp_extract + the single-pass
+  *    native decode expressions (no shuffle);
+  *  - [[NtDataSource]] (`spark.read.format("graft-nt")`): a DataSourceV2
+  *    with one input partition per file and column pruning pushed into the
+  *    reader.
   */
 object NtSource {
 
@@ -23,23 +27,37 @@ object NtSource {
   private val litPat =
     "^<([^>]+)> <([^>]+)> \"(.*)\"(?:\\^\\^<[^>]+>|@[a-zA-Z-]+)? \\.$"
 
-  /** Decode an IRI back to a resource name (strip base, _→space,
-    * %XX-decode) — ≙ iri2name, `/root/reference/impl/util/rdf.py:110-120`. */
-  def decodeName(iri: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val stripped = regexp_replace(iri, s"^${java.util.regex.Pattern.quote(Base)}", "")
-    val unesc = Seq("%25" -> "%", "%22" -> "\"", "%3C" -> "<", "%3E" -> ">",
-                    "%7C" -> "|", "%5E" -> "\\^", "%60" -> "`",
-                    "%7B" -> "\\{", "%7D" -> "\\}", "%5C" -> "\\\\")
-      .foldRight(regexp_replace(stripped, "_", " ")) { case ((from, to), acc) =>
-        regexp_replace(acc, from, to)
-      }
-    unesc
-  }
+  private val objRe = objPat.r
+  private val litRe = litPat.r
+
+  /** Line-level parser shared by the DSv2 reader and tests: one NT line →
+    * (subj, pred, obj, is_literal); None for non-triple lines. */
+  def parseLine(line: String): Option[(String, String, String, Boolean)] =
+    line match {
+      case objRe(s, p, o) =>
+        Some((NtCodec.decodeResourceJava(stripBase(s, Base)),
+              stripBase(p, PredBase),
+              NtCodec.decodeResourceJava(stripBase(o, Base)), false))
+      case litRe(s, p, o) =>
+        Some((NtCodec.decodeResourceJava(stripBase(s, Base)),
+              stripBase(p, PredBase),
+              NtCodec.unescapeLiteralJava(o), true))
+      case _ => None
+    }
+
+  private def stripBase(iri: String, base: String): String =
+    if (iri.startsWith(base)) iri.substring(base.length) else iri
+
+  /** Decode an IRI back to a resource name — full single-pass inverse of
+    * the encoder (strip base, _→space, %XX UTF-8 decode) ≙ iri2name +
+    * unquote, `/root/reference/impl/util/rdf.py:110-120,139-140`. Requires
+    * [[graft.core.Normalize.register]]. */
+  def decodeName(iri: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("nt_decode_resource",
+      regexp_replace(iri, s"^${java.util.regex.Pattern.quote(Base)}", ""))
 
   private def unescapeLiteral(c: org.apache.spark.sql.Column) =
-    Seq("\\\\t" -> "\t", "\\\\r" -> "\r", "\\\\n" -> "\n",
-        "\\\\\"" -> "\"", "\\\\\\\\" -> "\\\\")
-      .foldLeft(c) { case (acc, (from, to)) => regexp_replace(acc, from, to) }
+    call_function("nt_unescape_literal", c)
 
   /** Parse NT lines (one column `value`) into the triple schema. */
   def parse(lines: DataFrame): DataFrame = {

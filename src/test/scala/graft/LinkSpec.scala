@@ -28,6 +28,28 @@ class LinkSpec extends SparkSuite {
     assert(rows(bu).sameElements(rows(su)))
   }
 
+  test("scorer seam: prior scorer == broadcast link; context scorer overrides") {
+    // with scorer = prior the mention-side argmax must equal the
+    // dict-side-reduced broadcast path exactly
+    val (bl, bu) = AliasLink.link(mentions, dict)
+    val (pl, pu) = AliasLink.linkScored(mentions, dict, col("freq"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("mention_id", "label").as[(String, String)].collect().sorted
+    def linkedRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("mention_id", "ent").as[(String, String)].collect().sorted
+    assert(linkedRows(bl).sameElements(linkedRows(pl)))
+    assert(rows(bu).sameElements(rows(pu)))
+    // a context-dependent scorer (deterministic cross-encoder stand-in:
+    // page-url affinity) must flip the ambiguous alias away from the prior
+    val contextScore =
+      when(col("url").contains("people-called-ada") &&
+           col("ent") === "Ada Prime B", 10.0).otherwise(col("freq"))
+    val (cl, _) = AliasLink.linkScored(mentions, dict, contextScore)
+    val ada = cl.filter(col("label") === "Ada Prime")
+      .select("ent").distinct().as[String].collect()
+    assert(ada.toSeq == Seq("Ada Prime B"), "context must override the prior")
+  }
+
   test("ambiguous hot alias resolves to the highest-prior entity") {
     val (linked, _) = AliasLink.link(mentions, dict)
     val ada = linked.filter(col("label") === "Ada Prime")
