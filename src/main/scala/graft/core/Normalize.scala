@@ -209,4 +209,20 @@ object Normalize {
       .when(c.rlike("(ches|shes|xes)$"), c.substr(lit(1), length(c) - 2))
       .when(c.rlike("s$"), c.substr(lit(1), length(c) - 1))
       .otherwise(c)
+
+  /** Scala twin of [[singularize]] for driver-side taxonomy surgery
+    * (rule-for-rule identical; equality asserted in NormalizeNtSpec). */
+  def singularizeJava(s: String): String =
+    if (s.matches(".*(ss|us|is)$")) s
+    else if (s.matches(".*ies$")) s.dropRight(3) + "y"
+    else if (s.matches(".*(ches|shes|xes)$")) s.dropRight(2)
+    else if (s.matches(".*s$")) s.dropRight(1)
+    else s
+
+  /** Lexical-head key (N5 approximation): lowercased singular of the last
+    * canonical-label token — the merge/hypernym key for taxonomy surgery. */
+  def headKeyJava(label: String): String = {
+    val toks = canonicalLabelJava(label).split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) "" else singularizeJava(toks.last.toLowerCase)
+  }
 }

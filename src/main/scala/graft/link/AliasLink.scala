@@ -81,9 +81,13 @@ object AliasLink {
     * once and derives linked/unlinked as filters over the checkpoint, so
     * the broadcast join and the mention scan run exactly once per run
     * (the previous two-invocation shape planned and executed them twice). */
-  def linkAll(mentions: DataFrame, dict: DataFrame): DataFrame = {
+  def linkAll(mentions: DataFrame, dict: DataFrame,
+              dictPrepared: Boolean = false): DataFrame = {
     val keyed = mentions.withColumn("key", Normalize.aliasKey(col("label")))
-    val best = bestPerKey(dict).drop("is_hot")
+    // dictPrepared: caller already ran [[bestPerKey]] (e.g. once per run,
+    // checkpointed — the dict reduction is dimension-side prep, amortized
+    // over the whole corpus at scale)
+    val best = if (dictPrepared) dict else bestPerKey(dict).drop("is_hot")
     keyed.join(broadcast(best), Seq("key"), "left_outer")
       .select(col("url"), col("listing_key"), col("item_idx"),
               col("mention_id"), col("label"), col("key"), col("ent"))

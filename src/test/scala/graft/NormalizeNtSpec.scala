@@ -86,6 +86,10 @@ class NormalizeNtSpec extends SparkSuite {
     got.zip(cases).foreach { case (g, (in, want)) =>
       assert(g == want, s"singularize($in)")
     }
+    // the driver-side twin must be rule-for-rule identical
+    cases.foreach { case (in, want) =>
+      assert(Normalize.singularizeJava(in) == want, s"scala twin: $in")
+    }
   }
 
   test("NT lines: resource encoding, literal escaping, xsd typing") {
