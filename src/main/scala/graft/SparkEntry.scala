@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_minhash_fast"      -> (Dedup.minhashLshFast _), // rows-only (xxhash64)
     "dedup_simhash"           -> (Dedup.simhash _),
     "dedup_embedding_cosine"  -> (Dedup.embeddingCosine _),
+    "dedup_embedding_ivf"     -> (Dedup.embeddingCosineIvf _),
     "ann_bruteforce_topk"     -> (Ann.bruteForceTopK _),
     "ann_ivf_topk"            -> (Ann.ivfTopK _),
     "ann_lsh_cosine"          -> (Ann.lshCosine _),
@@ -203,6 +204,7 @@ object SparkEntry {
     "dedup_minhash_lsh"      -> Dedup.minhashLshSql,
     "dedup_simhash"          -> Dedup.simhashSql,
     "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
+    "dedup_embedding_ivf"    -> Dedup.embeddingCosineIvfSql,
     "ann_bruteforce_topk"    -> Ann.bruteForceTopKSql,
     "ann_ivf_topk"           -> Ann.ivfTopKSql,
     "ann_lsh_cosine"         -> Ann.lshCosineSql,

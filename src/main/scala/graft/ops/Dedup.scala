@@ -359,6 +359,64 @@ object Dedup {
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Embedding near-dup, IVF-cell blocked — the 100 TB shape the label
+    * blocking stands in for: every vector is assigned to its argmax-cosine
+    * centroid cell (deterministic centroids vec_id < 8, the same
+    * construction as [[Ann.ivfTopK]]; k-means output at scale), candidate
+    * pairs exist only within a cell, verified with exact cosine >= 0.35.
+    * One broadcast centroid join + one cell-keyed self-join — candidates
+    * are ~n²/nCells instead of n² (cells shrink as k-means k grows with
+    * the corpus). Boundary pairs split across cells are the standard IVF
+    * recall trade; multi-probe assignment is the recall knob. */
+  def embeddingCosineIvf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+    def dotc(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def cosc(a: Column, b: Column): Column =
+      dotc(a, b) / (sqrt(dotc(a, a)) * sqrt(dotc(b, b)))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val assigned = e.join(broadcast(cents))
+      .withColumn("ccos", cosc(col("emb"), col("ce")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
+    assigned.select(col("vec_id").as("a"), col("emb").as("ea"), col("cell"))
+      .join(assigned.select(col("vec_id").as("b"), col("emb").as("eb"),
+                            col("cell")), "cell")
+      .filter(col("a") < col("b"))
+      .withColumn("cos", cosc(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.35)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
+  val embeddingCosineIvfSql: String =
+    """WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+       cents AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+       sc AS (SELECT e.vec_id, e.emb, c.cent_id,
+          list_sum(list_transform(range(1, len(emb)+1), i -> emb[i]*ce[i]))
+          / (sqrt(list_sum(list_transform(range(1, len(emb)+1), i -> emb[i]*emb[i])))
+           * sqrt(list_sum(list_transform(range(1, len(ce)+1), i -> ce[i]*ce[i]))))
+          AS ccos
+          FROM e CROSS JOIN cents c),
+       assigned AS (SELECT vec_id, emb, cent_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY ccos DESC, cent_id ASC) AS arn FROM sc) WHERE arn=1),
+       p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+          list_sum(list_transform(range(1, len(x.emb)+1), i -> x.emb[i]*y.emb[i]))
+          / (sqrt(list_sum(list_transform(range(1, len(x.emb)+1), i -> x.emb[i]*x.emb[i])))
+           * sqrt(list_sum(list_transform(range(1, len(y.emb)+1), i -> y.emb[i]*y.emb[i]))))
+          AS cos
+          FROM assigned x JOIN assigned y
+            ON x.cell = y.cell AND x.vec_id < y.vec_id)
+       SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.35"""
+
   val embeddingCosineSql: String =
     """WITH e AS (SELECT vec_id, label,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
