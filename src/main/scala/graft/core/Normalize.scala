@@ -94,6 +94,8 @@ object Normalize {
     reg.createOrReplaceTempFunction(
       "nt_unescape_literal",
       exprs => NtCodec.NtUnescapeLiteralExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "plural_lexhead", exprs => PluralLexheadExpr(exprs.head), "built-in")
   }
 
   /** Column wrapper for the native expression. Requires [[register]] to have
@@ -200,6 +202,23 @@ object Normalize {
   def canonicalLabel(c: Column): Column =
     call_function("canonical_label", c)
 
+  case class PluralLexheadExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.BooleanType
+    override def nullSafeEval(input: Any): Any =
+      hasPluralLexheadSubjectsJava(input.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.core.Normalize" +
+          s".hasPluralLexheadSubjectsJava($c.toString());")
+    override protected def withNewChildInternal(newChild: Expression): PluralLexheadExpr =
+      copy(child = newChild)
+  }
+
+  /** F5 column form (requires [[register]]). */
+  def pluralLexhead(c: Column): Column =
+    call_function("plural_lexhead", c)
+
   /** Naive deterministic plural→singular (N6 semantics;
     * `/root/reference/impl/util/nlp.py:143-161`): rule-based, no dictionary
     * dependencies, deterministic on the fixture vocabulary. */
@@ -224,5 +243,42 @@ object Normalize {
   def headKeyJava(label: String): String = {
     val toks = canonicalLabelJava(label).split("\\s+").filter(_.nonEmpty)
     if (toks.isEmpty) "" else singularizeJava(toks.last.toLowerCase)
+  }
+
+  /** N5/F5: lexical-head SUBJECTS of a label — the trailing run of tokens
+    * separated by the subject connectors and/or/"," (reference:
+    * `impl/util/spacy/components.py:47-68` tag_lexical_head_subjects walks
+    * the lexical head in reverse, collecting nouns across connectors). */
+  def lexheadSubjectsJava(label: String): Seq[String] = {
+    val toks = canonicalLabelJava(label)
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    if (toks.isEmpty) return Nil
+    val connectors = Set("and", "or")
+    val subjects =
+      scala.collection.mutable.ArrayBuffer(toks.last.stripSuffix(","))
+    var i = toks.length - 2
+    var continue = true
+    while (i >= 0 && continue) {
+      val raw = toks(i)
+      if (connectors(raw.toLowerCase)) {
+        // connector: the token before it is another subject
+        if (i - 1 >= 0) { subjects += toks(i - 1).stripSuffix(","); i -= 2 }
+        else continue = false
+      } else if (raw.endsWith(",")) {
+        subjects += raw.stripSuffix(",") // comma-joined list member
+        i -= 1
+      } else continue = false // not a connector → all subjects found
+    }
+    subjects.toSeq
+  }
+
+  /** has_plural_lexhead_subjects (`impl/util/nlp.py:109-115`): true iff
+    * there IS a plural subject and NO singular subject — "Novels and
+    * films" qualifies, "Film and books" does not (the singular 'film'
+    * vetoes), "London" does not. */
+  def hasPluralLexheadSubjectsJava(label: String): Boolean = {
+    val subjects = lexheadSubjectsJava(label)
+    subjects.nonEmpty &&
+      subjects.forall(s => singularizeJava(s) != s) // all plural
   }
 }

@@ -34,11 +34,11 @@ object Categories {
       .join(redirects.select(col("src").as("name")), Seq("name"), "left_anti")
       .join(disambiguations.select(col("name")), Seq("name"), "left_anti")
 
-  /** F5: conceptual categories = plural lexical head (approximated as:
-    * the head token — last token of the canonical label — changes under
-    * singularization, e.g. "Princesses by country" → head "Princesses"). */
-  def conceptual(categories: DataFrame): DataFrame = {
-    val head = element_at(split(Normalize.canonicalLabel(col("label")), " "), -1)
-    categories.filter(Normalize.singularize(head) =!= head)
-  }
+  /** F5: conceptual categories = plural lexical-head SUBJECTS — the
+    * trailing connector-joined noun run must be ALL plural (a singular
+    * subject vetoes: "Film and books" is not conceptual;
+    * ≙ has_plural_lexhead_subjects, `impl/util/nlp.py:109-115` +
+    * `components.py:47-68`; native expression, codegen'd). */
+  def conceptual(categories: DataFrame): DataFrame =
+    categories.filter(Normalize.pluralLexhead(col("label")))
 }

@@ -28,14 +28,11 @@ object TaxonomyMerge {
                     merged: Map[String, String],
                     dropped: Set[String])
 
-  /** Plural-lexhead conceptual test (F5, driver twin of
-    * `Categories.conceptual`): the head token changes under
-    * singularization. */
-  def isConceptual(label: String): Boolean = {
-    val toks = Normalize.canonicalLabelJava(label)
-      .split("\\s+").filter(_.nonEmpty)
-    toks.nonEmpty && Normalize.singularizeJava(toks.last) != toks.last
-  }
+  /** Plural-lexhead conceptual test (F5, the same native predicate
+    * `Categories.conceptual` uses): every trailing connector-joined
+    * subject is plural. */
+  def isConceptual(label: String): Boolean =
+    Normalize.hasPluralLexheadSubjectsJava(label)
 
   /** edges = (parent, child); labels = node → display label; isHypernym =
     * (childHead, parentHead) relation (e.g. Hearst-count lookup). */

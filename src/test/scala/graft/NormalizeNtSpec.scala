@@ -69,12 +69,24 @@ class NormalizeNtSpec extends SparkSuite {
   }
 
   test("plural lexhead (F5 conceptual) reproduces the reference's pairs") {
-    // tests/unit/util/test_nlp.py:31-36
+    // tests/unit/util/test_nlp.py:31-36, plus the multi-subject semantics
+    // of tag_lexical_head_subjects (components.py:47-68): all trailing
+    // connector-joined subjects must be plural; one singular vetoes
     val cats = Seq("Reptiles", "Princesses", "African musical instruments",
-                   "London").toDF("label")
+                   "London",
+                   "Novels and films",      // both plural -> conceptual
+                   "Film and books",        // singular 'Film' vetoes
+                   "Essays, poems and plays" // comma list, all plural
+                   ).toDF("label")
     val got = graft.mine.Categories.conceptual(cats).as[String].collect().toSet
     assert(got == Set("Reptiles", "Princesses",
-                      "African musical instruments"))
+                      "African musical instruments",
+                      "Novels and films", "Essays, poems and plays"))
+    // scala twin ≡ expression path
+    assert(Normalize.hasPluralLexheadSubjectsJava("Novels and films"))
+    assert(!Normalize.hasPluralLexheadSubjectsJava("Film and books"))
+    assert(Normalize.lexheadSubjectsJava("Essays, poems and plays") ==
+           Seq("plays", "poems", "Essays"))
   }
 
   test("singularize") {
