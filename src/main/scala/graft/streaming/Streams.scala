@@ -80,4 +80,40 @@ object Streams {
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
+
+  /** Streaming INGEST dedup — the training-pipeline op every streaming
+    * crawl front-end needs: drop re-crawled/duplicated documents by
+    * content key as they arrive. Batch form below is the oracle-checkable
+    * twin (first event per (event_type, value-bucket) key in event-time
+    * order, deterministic tie-break). */
+  def dedupBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type", "k")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events.select(col("event_id"), col("ts"), col("event_type"),
+                  pmod(col("user_id"), lit(100)).as("k"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("event_type"), col("k"))
+  }
+
+  val dedupBatchSql: String =
+    """SELECT event_id, event_type, k FROM (
+         SELECT event_id, event_type, user_id % 100 AS k,
+           row_number() OVER (PARTITION BY event_type, user_id % 100
+                              ORDER BY ts ASC, event_id ASC) AS rn
+         FROM events) WHERE rn = 1"""
+
+  /** The streaming twin: `dropDuplicatesWithinWatermark` on the same key —
+    * state is bounded by the watermark horizon (the property that lets
+    * this run forever at ingest scale; an unbounded dropDuplicates would
+    * accumulate one state row per key ever seen). Streaming ≡ batch on
+    * replays ordered within the watermark (asserted in StatefulSpec). */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("k", pmod(col("user_id"), lit(100)))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_type", "k")
+      .select(col("event_id"), col("event_type"), col("k"))
 }

@@ -47,6 +47,28 @@ class StatefulSpec extends SparkSuite {
     }
   }
 
+  test("streaming ingest dedup: dropDuplicatesWithinWatermark == batch keys") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = SparkSuite.tempDir("graft-sdedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf + "/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val q = Streams.streamingDedup(spark, dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup").start()
+    q.processAllAvailable()
+    val streamed = spark.table("sdedup")
+      .select("event_type", "k").as[(String, Long)].collect().toSet
+    q.stop()
+    val batch = Streams.dedupBatch(graft.core.Tables.events(spark, sf))
+      .select("event_type", "k").as[(String, Long)].collect().toSet
+    // both keep exactly one row per key; the streaming survivor is the
+    // first ARRIVED (processing order), the batch one the first in event
+    // time — the KEY SET and count must match exactly
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(spark.table("sdedup").count() == batch.size)
+  }
+
   test("A15 property frequencies with subtree fallback") {
     val types = Seq(("e1", "Scientist"), ("e2", "Scientist"),
                     ("e3", "Scientist"), ("e4", "Artist"))
