@@ -144,7 +144,9 @@ object Bench {
     }
     def nativeLine = graft.core.NtCodec.ntLine(
       col("subj"), col("pred"), col("obj"), col("is_literal"))
-    renderTime(nativeLine) // warm-up JIT + checkpoint scan
+    // warm BOTH paths (codegen+JIT+scan) — warming only one side would
+    // charge the other's one-time compilation to its timed run
+    renderTime(nativeLine); renderTime(legacyLine)
     val ntRegexSec = renderTime(legacyLine)
     val ntNativeSec = renderTime(nativeLine)
     val ntRows = nTriples * ntRep

@@ -138,12 +138,14 @@ object Normalize {
     val toks = s.split("\\s+").filter(_.nonEmpty)
     val byIdx = toks.indices.filter(toks(_) == "by")
     if (byIdx.isEmpty) return s
-    // words after the by-phrase (e.g. 'in Honduras') are kept
+    // words after the by-phrase (e.g. 'in Honduras') are kept. Two
+    // INDEPENDENT checks like the reference (components.py:85-90): when
+    // both appear, the later 'from' assignment OVERRIDES the 'in' one.
     var endIndex = toks.length
     val afterLastBy = toks.drop(byIdx.last + 1)
     if (afterLastBy.contains("in"))
       endIndex = byIdx.last + 1 + afterLastBy.indexOf("in")
-    else if (afterLastBy.contains("from"))
+    if (afterLastBy.contains("from"))
       endIndex = byIdx.last + 1 + afterLastBy.indexOf("from")
     for ((bi, k) <- byIdx.zipWithIndex) {
       val curEnd = if (k == byIdx.length - 1) endIndex else byIdx(k + 1)

@@ -37,16 +37,19 @@ object NtCodec {
     "#:,;()'&!*=$".indexOf(c) >= 0
 
   /** Single pass: space→'_', keep unreserved+exceptions, %XX-encode the
-    * UTF-8 bytes of everything else (uppercase hex, like urllib.quote). */
+    * UTF-8 bytes of everything else (uppercase hex, like urllib.quote).
+    * Iterates by CODE POINT — a lone-surrogate iteration would corrupt
+    * non-BMP characters (emoji, CJK extensions) to '?'. */
   def encodeResourceJava(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 8)
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == ' ') sb.append('_')
-      else if (keepAsIs(c)) sb.append(c)
+      val cp = s.codePointAt(i)
+      val n = Character.charCount(cp)
+      if (cp == ' ') sb.append('_')
+      else if (cp < 128 && keepAsIs(cp.toChar)) sb.append(cp.toChar)
       else {
-        val bytes = String.valueOf(c).getBytes("UTF-8")
+        val bytes = new String(Character.toChars(cp)).getBytes("UTF-8")
         var j = 0
         while (j < bytes.length) {
           sb.append('%')
@@ -54,10 +57,16 @@ object NtCodec {
           j += 1
         }
       }
-      i += 1
+      i += n
     }
     sb.toString
   }
+
+  /** python str.split() whitespace: Java's isWhitespace misses the
+    * non-breaking Zs spaces (U+00A0, U+2007, U+202F) and NEL (U+0085)
+    * that Python treats as whitespace. */
+  private def isPyWhitespace(c: Char): Boolean =
+    Character.isWhitespace(c) || Character.isSpaceChar(c) || c == '\u0085'
 
   /** Single pass: escape \ and ", squash whitespace runs to one space,
     * trim (≡ escape + ' '.join(text.split())). */
@@ -67,7 +76,7 @@ object NtCodec {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c)) pendingSpace = true
+      if (isPyWhitespace(c)) pendingSpace = true
       else {
         if (pendingSpace && sb.length > 0) sb.append(' ')
         pendingSpace = false
@@ -83,24 +92,27 @@ object NtCodec {
   /** Inverse of [[encodeResourceJava]] (≙ iri2name + urllib.unquote,
     * `rdf.py:110-120,139-140`): '_'→space, full %XX UTF-8 percent-decode.
     * Lossy like the reference: original underscores become spaces. */
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
   def decodeResourceJava(s: String): String = {
     val out = new java.io.ByteArrayOutputStream(s.length)
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        try {
-          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
-          i += 3
-        } catch {
-          case _: NumberFormatException =>
-            out.write('%'); i += 1
-        }
-      } else if (c == '_') { out.write(' '); i += 1 }
+      val cp = s.codePointAt(i)
+      // strict [0-9A-Fa-f]{2} like urllib.unquote — Integer.parseInt would
+      // also accept signed forms like '%-5' and emit bogus bytes
+      if (cp == '%' && i + 2 < s.length &&
+          isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else if (cp == '_') { out.write(' '); i += 1 }
       else {
-        val bytes = String.valueOf(c).getBytes("UTF-8")
+        // code-point iteration: lone surrogates would corrupt non-BMP
+        val n = Character.charCount(cp)
+        val bytes = new String(Character.toChars(cp)).getBytes("UTF-8")
         out.write(bytes, 0, bytes.length)
-        i += 1
+        i += n
       }
     }
     new String(out.toByteArray, "UTF-8")

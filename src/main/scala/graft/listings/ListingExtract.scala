@@ -155,6 +155,9 @@ object ListingExtract {
             scala.collection.mutable.ArrayBuffer.empty) += line.substring(2)
       }
     }
+    // a table left unclosed at end-of-page (truncated crawl) still counts —
+    // wtp parses it, and the relational twin has no closed-ness requirement
+    if (depth >= 1 && tableRows != null) closeTable()
 
     listings.iterator.flatMap { case (key, items) =>
       if (items.size < 3) Iterator.empty // F2 usefulness

@@ -99,9 +99,15 @@ class NtScan(path: String, required: StructType,
     s"graft-nt path=$path, columns=${required.fieldNames.mkString(",")}" +
       isLiteralFilter.map(v => s", pushed is_literal=$v").getOrElse("")
 
+  /** The SESSION's Hadoop configuration (s3a credentials, fs.defaultFS,
+    * kerberos, ...) — a bare `new Configuration()` would ignore every
+    * spark.hadoop.* setting and break non-local filesystems. */
+  private def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(path)
-    val fs = root.getFileSystem(new Configuration())
+    val fs = root.getFileSystem(hadoopConf())
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     def walk(p: Path): Unit = {
       val st = fs.listStatus(p)
@@ -116,24 +122,39 @@ class NtScan(path: String, required: StructType,
     files.sorted.map(f => NtInputPartition(f): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new NtReaderFactory(required.fieldNames, isLiteralFilter)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the session conf to executors as a plain (serializable) map
+    val props = {
+      val it = hadoopConf().iterator()
+      val m = scala.collection.mutable.Map.empty[String, String]
+      while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue }
+      m.toMap
+    }
+    new NtReaderFactory(required.fieldNames, isLiteralFilter, props)
+  }
 }
 
 case class NtInputPartition(file: String) extends InputPartition
 
 class NtReaderFactory(columns: Array[String],
-                      isLiteralFilter: Option[Boolean])
+                      isLiteralFilter: Option[Boolean],
+                      hadoopProps: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new NtPartitionReader(partition.asInstanceOf[NtInputPartition].file,
-                          columns, isLiteralFilter)
+                          columns, isLiteralFilter, hadoopProps)
 }
 
 class NtPartitionReader(file: String, columns: Array[String],
-                        isLiteralFilter: Option[Boolean])
+                        isLiteralFilter: Option[Boolean],
+                        hadoopProps: Map[String, String])
     extends PartitionReader[InternalRow] {
-  private val fs = new Path(file).getFileSystem(new Configuration())
+  private val conf = {
+    val c = new Configuration(false)
+    hadoopProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val fs = new Path(file).getFileSystem(conf)
   private val in = new java.io.BufferedReader(
     new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))
   private var current: InternalRow = _

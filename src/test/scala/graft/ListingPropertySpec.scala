@@ -45,7 +45,9 @@ class ListingPropertySpec extends SparkSuite {
   private val tableGen: Gen[Seq[String]] = for {
     header <- Gen.option(Gen.const("! H1 !! H2"))
     rows <- Gen.choose(1, 7).flatMap(n => Gen.listOfN(n, rowGen))
-  } yield Seq("{|") ++ header.toSeq ++ rows.flatten ++ Seq("|}")
+    closed <- Gen.frequency(8 -> true, 1 -> false) // truncated-crawl case
+  } yield Seq("{|") ++ header.toSeq ++ rows.flatten ++
+    (if (closed) Seq("|}") else Nil)
 
   private val sectionGen: Gen[Seq[String]] = for {
     name <- Gen.oneOf("Members", "Table", "See also", "Stuff")

@@ -113,6 +113,14 @@ class ListingSpec extends SparkSuite {
     assert(labels(t).isEmpty)
   }
 
+  test("F7: a table left unclosed at end-of-page still parses (truncated crawl)") {
+    val t = Seq("== T ==", "{|", "! A !! B",
+                "|-", "| [[Row One]] || x",
+                "|-", "| [[Row Two]] || x",
+                "|-", "| [[Row Three]] || x").mkString("\n") // no |}
+    assert(labels(t) == Seq("Row One", "Row Two", "Row Three"))
+  }
+
   test("F7: two surviving tables in one section get distinct listing keys") {
     val t = (Seq("== T ==") ++
       Seq("{|", "! A !! B",

@@ -35,7 +35,12 @@ class NormalizeNtSpec extends SparkSuite {
       "Work by L. J. Smith" -> "Work by L. J. Smith",
       "Song recorded by ABBA" -> "Song recorded by ABBA",
       "Alumni by university or college in Honduras" -> "Alumni in Honduras",
-      "Countries by GDP per capita" -> "Countries")
+      "Countries by GDP per capita" -> "Countries",
+      // components.py:85-90 doc-string case + the both-present case: the
+      // 'from' check runs AFTER 'in' and overrides it
+      "Sportspeople by sport from Georgia" -> "Sportspeople from Georgia",
+      "Sportspeople by sport in 2020 from Georgia" ->
+        "Sportspeople from Georgia")
     cases.foreach { case (in, want) =>
       assert(Normalize.removeByPhraseJava(in) == want, s"by-phrase: $in")
     }
@@ -140,8 +145,20 @@ class NormalizeNtSpec extends SparkSuite {
     // non-ASCII goes through UTF-8 percent-encoding like urllib.quote
     assert(NtCodec.encodeResourceJava("Café") == "Caf%C3%A9")
     assert(NtCodec.encodeResourceJava("a b") == "a_b")
-    // literal whitespace squash ≡ ' '.join(s.split())
+    // non-BMP code points (surrogate pairs) must encode their real UTF-8
+    // bytes, not '?' — and round-trip
+    assert(NtCodec.encodeResourceJava("x😀y") == "x%F0%9F%98%80y")
+    assert(NtCodec.decodeResourceJava("x%F0%9F%98%80y") == "x😀y")
+    assert(NtCodec.decodeResourceJava(
+      NtCodec.encodeResourceJava("Pokémon 😀")) ==
+      "Pokémon 😀")
+    // strict %XX decode: signed hex like urllib.unquote leaves verbatim
+    assert(NtCodec.decodeResourceJava("rate%-5") == "rate%-5")
+    assert(NtCodec.decodeResourceJava("a%4") == "a%4")
+    // literal whitespace squash ≡ ' '.join(s.split()) — incl. the
+    // non-breaking Zs spaces and NEL that python treats as whitespace
     assert(NtCodec.escapeLiteralJava("  a\t\nb  c ") == "a b c")
+    assert(NtCodec.escapeLiteralJava("a\u00a0b\u0085c\u202fd") == "a b c d")
   }
 
   test("NT expression path (codegen) agrees with the scala path") {
