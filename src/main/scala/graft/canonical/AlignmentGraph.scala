@@ -1,0 +1,84 @@
+package graft.canonical
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Normalize
+
+/** Alignment-graph construction for entity disambiguation (reference:
+  * `greedy_clustering.py:26-35` `_get_alignment_graph`): scored
+  * mention–entity candidates above `meThreshold` and mention–mention
+  * candidates above `mmThreshold` become the weighted edge set that
+  * [[NastyLinker]]/[[EdinCluster]] split — closing the end-to-end ED path
+  * mentions → candidates → alignment graph → clusters.
+  *
+  * Candidate generation is deterministic (the reference scores candidates
+  * with a bi-encoder; any scorer Column slots in, same seam as
+  * `AliasLink.linkScored`):
+  *  - ME candidates: mentions × alias dictionary on the lexical key
+  *    (broadcast join), weight = the scorer column (default: the prior);
+  *  - MM candidates: mentions sharing a lexical key, weight = 1.0 (an
+  *    exact-key match; a similarity scorer replaces the literal the same
+  *    way). MM pairs are generated per key with the same hot-bucket cap
+  *    discipline as every other bucketed self-join here — a boilerplate
+  *    key cannot go quadratic.
+  *
+  * Output edges (src, dst, weight) use the "m:"/"e:" node namespaces the
+  * clusterers expect. Scores are clamped at 1 (min(score,1), :33-34).
+  */
+object AlignmentGraph {
+
+  /** Hot-key cut for MM candidate generation (≙ Dedup.MaxBucket). */
+  val MaxKeyBucket = 50
+
+  /** mentions(mention_id, label) × dict(key, ent, freq) → weighted edges.
+    * `meScore`: any Column over the joined (mention × candidate) row. */
+  def build(mentions: DataFrame, dict: DataFrame,
+            meThreshold: Double = 0.5, mmThreshold: Double = 0.5,
+            meScore: Column = col("freq")): DataFrame = {
+    val keyed = mentions
+      .select(col("mention_id"), col("label"))
+      .withColumn("key", Normalize.aliasKey(col("label")))
+
+    // — ME edges: scored candidates above the threshold (strict >, :31) —
+    val me = keyed.join(broadcast(dict), Seq("key"))
+      .withColumn("score", least(meScore, lit(1.0)))
+      .filter(col("score") > meThreshold)
+      .select(concat(lit("m:"), col("mention_id")).as("src"),
+              concat(lit("e:"), col("ent")).as("dst"),
+              col("score").as("weight"))
+
+    // — MM edges: same lexical key ⇒ candidate pair, weight 1.0 (> any
+    //   threshold < 1), capped per key —
+    val small = keyed.withColumn("bsize",
+      count(lit(1)).over(Window.partitionBy("key")))
+      .filter(col("bsize") <= MaxKeyBucket)
+    val mm = small.select(col("mention_id").as("a"), col("key"))
+      .join(small.select(col("mention_id").as("b"), col("key")), "key")
+      .filter(col("a") < col("b"))
+      .select(concat(lit("m:"), col("a")).as("src"),
+              concat(lit("m:"), col("b")).as("dst"),
+              lit(1.0).as("weight"))
+      .filter(lit(1.0) > mmThreshold)
+
+    me.unionByName(mm)
+  }
+
+  /** The full ED run: mentions → alignment graph → NastyLinker split.
+    * Returns (mention_id, ent | null, cluster_id). */
+  def disambiguate(mentions: DataFrame, dict: DataFrame,
+                   meThreshold: Double = 0.5, mmThreshold: Double = 0.5,
+                   pathThreshold: Double = 0.75,
+                   meScore: Column = col("freq")): DataFrame = {
+    val edges = build(mentions, dict, meThreshold, mmThreshold, meScore)
+    val clustered = NastyLinker.cluster(edges, pathThreshold)
+    // mentions with NO candidate edge at all never reach the graph: they
+    // are singleton NIL clusters (the reference only clusters graph nodes;
+    // the pipeline's F9/NIL path handles the rest — kept here for totality)
+    val isolated = mentions.select(col("mention_id"))
+      .join(clustered.select("mention_id"), Seq("mention_id"), "left_anti")
+      .select(col("mention_id"), lit(null).cast("string").as("ent"),
+              concat(lit("nil:"), col("mention_id")).as("cluster_id"))
+    clustered.unionByName(isolated)
+  }
+}
