@@ -39,10 +39,15 @@ object AlignmentGraph {
     val keyed = mentions
       .select(col("mention_id"), col("label"))
       .withColumn("key", Normalize.aliasKey(col("label")))
+      // labels that normalize to "" (punctuation-only, non-Latin scripts)
+      // share a key vacuously — they must not form edges with each other
+      .filter(length(col("key")) > 0)
 
-    // — ME edges: scored candidates above the threshold (strict >, :31) —
+    // — ME edges: scored candidates above the threshold (strict >, :31).
+    // NULL scores (partial scorer without .otherwise, null dict prior)
+    // mean "no evidence" = 0, NOT max weight: least() skips nulls. —
     val me = keyed.join(broadcast(dict), Seq("key"))
-      .withColumn("score", least(meScore, lit(1.0)))
+      .withColumn("score", least(coalesce(meScore, lit(0.0)), lit(1.0)))
       .filter(col("score") > meThreshold)
       .select(concat(lit("m:"), col("mention_id")).as("src"),
               concat(lit("e:"), col("ent")).as("dst"),
@@ -70,7 +75,11 @@ object AlignmentGraph {
                    meThreshold: Double = 0.5, mmThreshold: Double = 0.5,
                    pathThreshold: Double = 0.75,
                    meScore: Column = col("freq")): DataFrame = {
+    // checkpoint: NastyLinker scans the edge set repeatedly (bidir groupBy,
+    // CC, NIL subgraph) — without this the broadcast join + window + MM
+    // self-join lineage would re-execute on every scan
     val edges = build(mentions, dict, meThreshold, mmThreshold, meScore)
+      .localCheckpoint()
     val clustered = NastyLinker.cluster(edges, pathThreshold)
     // mentions with NO candidate edge at all never reach the graph: they
     // are singleton NIL clusters (the reference only clusters graph nodes;

@@ -140,20 +140,23 @@ class NtReaderFactory(columns: Array[String],
                       isLiteralFilter: Option[Boolean],
                       hadoopProps: Map[String, String])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NtPartitionReader(partition.asInstanceOf[NtInputPartition].file,
-                          columns, isLiteralFilter, hadoopProps)
-}
-
-class NtPartitionReader(file: String, columns: Array[String],
-                        isLiteralFilter: Option[Boolean],
-                        hadoopProps: Map[String, String])
-    extends PartitionReader[InternalRow] {
-  private val conf = {
+  // the factory is serialized once per stage (not per task); rebuild the
+  // Configuration once per deserialized instance and share it across every
+  // reader it creates
+  @transient private lazy val conf = {
     val c = new Configuration(false)
     hadoopProps.foreach { case (k, v) => c.set(k, v) }
     c
   }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new NtPartitionReader(partition.asInstanceOf[NtInputPartition].file,
+                          columns, isLiteralFilter, conf)
+}
+
+class NtPartitionReader(file: String, columns: Array[String],
+                        isLiteralFilter: Option[Boolean],
+                        conf: Configuration)
+    extends PartitionReader[InternalRow] {
   private val fs = new Path(file).getFileSystem(conf)
   private val in = new java.io.BufferedReader(
     new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))

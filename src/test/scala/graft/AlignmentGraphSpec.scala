@@ -46,6 +46,29 @@ class AlignmentGraphSpec extends SparkSuite {
     assert(got.size == 5)
   }
 
+  test("a NULL-scoring candidate is no-evidence (0), never a 1.0 edge") {
+    // a partial scorer without .otherwise() yields NULL for non-matching
+    // rows; least(null, 1.0) would skip the null and emit max weight
+    val partial = when(col("ent") === "S", 0.9)
+    val edges = AlignmentGraph.build(mentions, dict, meScore = partial)
+      .as[(String, String, Double)].collect().toSet
+    assert(edges.contains(("m:m3", "e:S", 0.9)))
+    assert(!edges.exists(e => e._2 == "e:A" || e._2 == "e:B" || e._2 == "e:G"),
+           "null-scored candidates must not become edges")
+  }
+
+  test("labels normalizing to an empty key never form edges") {
+    val weird = Seq(("w1", "???"), ("w2", "---"), ("w3", "北京"))
+      .toDF("mention_id", "label")
+    val edges = AlignmentGraph.build(weird, dict)
+    assert(edges.isEmpty, "empty-key labels must not MM-clique")
+    val got = AlignmentGraph.disambiguate(weird, dict)
+      .as[(String, Option[String], String)].collect()
+    assert(got.length == 3 && got.forall(_._2.isEmpty),
+           "each becomes its own singleton NIL")
+    assert(got.map(_._3).distinct.length == 3)
+  }
+
   test("a context scorer reroutes the ambiguous mention (M5 seam)") {
     // cross-encoder stand-in: boost B for the dash-spelled mention —
     // both m1 and m2 share the key, but the score column sees the label
