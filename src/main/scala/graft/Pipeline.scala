@@ -62,8 +62,12 @@ object Pipeline {
       else AliasLink.foldRedirects(seeds.aliases, seeds.redirects)
     val dict = AliasLink.buildDict(aliasTable)
     // ONE broadcast-join execution; linked/unlinked are filters over the
-    // checkpointed join output (ent nullable), not two separate stages
-    val linkedAll = runner.run("linked") { AliasLink.linkAll(mentions, dict) }
+    // checkpointed join output (ent nullable), not two separate stages.
+    // Stage name is "linked_all", NOT the pre-r3 "linked": the checkpoint
+    // shape changed (nullable ent, unlinked rows included) and StageRunner
+    // resumes by name — a stale "linked" checkpoint must never resume into
+    // the new shape (it would silently empty the NIL path).
+    val linkedAll = runner.run("linked_all") { AliasLink.linkAll(mentions, dict) }
     val (linked, unlinked) = AliasLink.splitLinked(linkedAll)
 
     // 3b. F9: drop frequent unknown labels (boilerplate) before clustering

@@ -92,6 +92,15 @@ object NastyLinker {
       cur = merged
       iter += 1
     }
+    // Truncation must be OBSERVABLE (round-2 ADVICE): weight-1.0 edges do
+    // not decay, so a >threshold region with diameter > maxIter would
+    // silently leave attachable mentions in NIL. Same iteration-bound
+    // discipline as ConnectedComponents, but surfaced.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"NastyLinker propagation NOT converged after $maxIter rounds — " +
+          "graph diameter above the >threshold frontier exceeds maxIter; " +
+          "mentions beyond the horizon fall to NIL. Raise maxIter.")
 
     // — assemble clusters —
     // ≤1-entity components pass through whole (the validity rule)

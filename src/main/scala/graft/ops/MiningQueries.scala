@@ -123,14 +123,15 @@ object MiningQueries {
     * even-user counts, per-subject ratio), merged with per-source thresholds
     * and a 2-of-3 vote (reference `impl/util/hypernymy.py:55-98`). */
   def hypernymVote(s: SparkSession, d: String): DataFrame = {
+    // sign-preserving % (not pmod) everywhere a DuckDB oracle uses `%`
     val base = Tables.events(s, d).select(
       col("event_type").as("sub"),
-      concat(lit("b"), pmod(col("user_id"), lit(3))).as("obj"))
+      concat(lit("b"), col("user_id") % 3).as("obj"))
     val wiki = base.groupBy("sub", "obj").agg(count(lit(1)).as("cnt"))
     val web = Tables.events(s, d)
-      .filter(pmod(col("user_id"), lit(2)) === 0)
+      .filter(col("user_id") % 2 === 0)
       .select(col("event_type").as("sub"),
-              concat(lit("b"), pmod(col("user_id"), lit(3))).as("obj"))
+              concat(lit("b"), col("user_id") % 3).as("obj"))
       .groupBy("sub", "obj").agg(count(lit(1)).as("cnt"))
     val ratios = wiki
       .withColumn("ratio",

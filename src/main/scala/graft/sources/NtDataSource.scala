@@ -65,6 +65,7 @@ class NtScanBuilder(path: String) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = NtDataSource.Schema
   private var isLiteralFilter: Option[Boolean] = None
+  private var contradiction: Boolean = false
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -72,15 +73,20 @@ class NtScanBuilder(path: String) extends ScanBuilder
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rest) = filters.partition {
-      case EqualTo("is_literal", v: java.lang.Boolean) => true
+      case EqualTo("is_literal", _: java.lang.Boolean) => true
       case EqualTo("is_literal", _: Boolean) => true
       case _ => false
     }
-    accepted.foreach {
-      case EqualTo(_, v: java.lang.Boolean) => isLiteralFilter = Some(v)
-      case EqualTo(_, v: Boolean) => isLiteralFilter = Some(v)
-      case _ =>
-    }
+    val values = accepted.flatMap {
+      case EqualTo(_, v: java.lang.Boolean) => Some(v.booleanValue())
+      case EqualTo(_, v: Boolean) => Some(v)
+      case _ => None
+    }.toSet
+    // accepted filters are removed from the post-scan set, so a conflicting
+    // pair (is_literal=true AND is_literal=false) must yield an EMPTY scan,
+    // not last-writer-wins (round-2 ADVICE)
+    if (values.size > 1) contradiction = true
+    else values.headOption.foreach(v => isLiteralFilter = Some(v))
     pushed = accepted
     rest // everything else is evaluated post-scan by Spark
   }
@@ -88,11 +94,12 @@ class NtScanBuilder(path: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new NtScan(path, required, isLiteralFilter)
+    new NtScan(path, required, isLiteralFilter, contradiction)
 }
 
 class NtScan(path: String, required: StructType,
-             isLiteralFilter: Option[Boolean]) extends Scan with Batch {
+             isLiteralFilter: Option[Boolean],
+             contradiction: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -106,6 +113,7 @@ class NtScan(path: String, required: StructType,
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (contradiction) return Array.empty // conflicting is_literal= filters
     val root = new Path(path)
     val fs = root.getFileSystem(hadoopConf())
     val files = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -90,8 +90,10 @@ object Streams {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type", "k")
       .orderBy(col("ts").asc, col("event_id").asc)
+    // sign-preserving % (not pmod): matches the DuckDB oracle's `%` for
+    // negative user_id too (latent divergence flagged in round-2 ADVICE)
     events.select(col("event_id"), col("ts"), col("event_type"),
-                  pmod(col("user_id"), lit(100)).as("k"))
+                  (col("user_id") % 100).as("k"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("event_id"), col("event_type"), col("k"))
@@ -112,7 +114,7 @@ object Streams {
   def streamingDedup(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventsSchema)
       .parquet(dir)
-      .withColumn("k", pmod(col("user_id"), lit(100)))
+      .withColumn("k", col("user_id") % 100) // same % semantics as the batch twin
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_type", "k")
       .select(col("event_id"), col("event_type"), col("k"))

@@ -34,7 +34,7 @@ class ResumeSpec extends SparkSuite {
     val lin = spark.read.parquet(s"$outDir/_lineage")
       .filter(col("run_id") === "run-2")
       .select("stage", "resumed").as[(String, Boolean)].collect().toMap
-    assert(lin("pages_text") && lin("mentions") && lin("linked"),
+    assert(lin("pages_text") && lin("mentions") && lin("linked_all"),
            s"early stages should resume: $lin")
     assert(!lin("types") && !lin("relations") && !lin("triples"),
            s"late stages should re-run: $lin")
