@@ -240,38 +240,111 @@ object Normalize {
     else if (s.matches(".*s$")) s.dropRight(1)
     else s
 
-  /** Lexical-head key (N5 approximation): lowercased singular of the last
-    * canonical-label token — the merge/hypernym key for taxonomy surgery. */
-  def headKeyJava(label: String): String = {
-    val toks = canonicalLabelJava(label).split("\\s+").filter(_.nonEmpty)
-    if (toks.isEmpty) "" else singularizeJava(toks.last.toLowerCase)
-  }
+  /** Word-shape stand-in for spaCy's noun-chunk boundary (N5): the lexical
+    * head of a category label is its FIRST noun-chunk run — prepositions,
+    * subordinators and relative pronouns never occur inside a noun chunk,
+    * so the head span is the canonical-label token run truncated at the
+    * first such stopper (reference: `impl/util/spacy/components.py:12-44`
+    * tag_lexical_head walks noun_chunks from the FRONT and stops at the
+    * first chunk whose root is not a common noun). Anchoring at the END of
+    * the label — the pre-r3 behavior — misclassified the dominant
+    * "Princesses of France" shape (head would be 'France'). */
+  private val HeadSpanStoppers = Set(
+    "of", "in", "from", "at", "for", "on", "to", "by", "with", "during",
+    "within", "without", "under", "over", "about", "against", "between",
+    "near", "across", "through", "since", "until", "before", "after",
+    "into", "onto", "toward", "towards", "among", "along", "via", "per",
+    "who", "whom", "which", "that", "whose", "where", "when")
 
-  /** N5/F5: lexical-head SUBJECTS of a label — the trailing run of tokens
-    * separated by the subject connectors and/or/"," (reference:
-    * `impl/util/spacy/components.py:47-68` tag_lexical_head_subjects walks
-    * the lexical head in reverse, collecting nouns across connectors). */
-  def lexheadSubjectsJava(label: String): Seq[String] = {
+  /** N5 lexical-head span: canonical-label tokens before the first stopper
+    * (the whole run when the label STARTS with a stopper — degenerate
+    * titles like "Of Mice and Men" keep their full run). */
+  def lexheadTokensJava(label: String): Seq[String] = {
     val toks = canonicalLabelJava(label)
       .split("\\s+").filter(_.nonEmpty).toSeq
-    if (toks.isEmpty) return Nil
+    val cut = toks.indexWhere(t =>
+      HeadSpanStoppers(t.stripSuffix(",").toLowerCase))
+    if (cut <= 0) toks else toks.take(cut)
+  }
+
+  /** (head-span tokens, index where the trailing connector-joined SUBJECT
+    * zone begins). The zone walk mirrors tag_lexical_head_subjects
+    * (components.py:47-68): from the last head token backwards across
+    * and/or/"," connectors. */
+  private def headSpanWithZone(label: String): (Seq[String], Int) = {
+    val toks = lexheadTokensJava(label)
+    if (toks.isEmpty) return (toks, 0)
     val connectors = Set("and", "or")
-    val subjects =
-      scala.collection.mutable.ArrayBuffer(toks.last.stripSuffix(","))
+    var start = toks.length - 1
     var i = toks.length - 2
     var continue = true
     while (i >= 0 && continue) {
       val raw = toks(i)
       if (connectors(raw.toLowerCase)) {
-        // connector: the token before it is another subject
-        if (i - 1 >= 0) { subjects += toks(i - 1).stripSuffix(","); i -= 2 }
-        else continue = false
+        if (i - 1 >= 0) { start = i - 1; i -= 2 } else continue = false
       } else if (raw.endsWith(",")) {
-        subjects += raw.stripSuffix(",") // comma-joined list member
+        start = i // comma-joined list member
         i -= 1
-      } else continue = false // not a connector → all subjects found
+      } else continue = false // not a connector → zone complete
     }
-    subjects.toSeq
+    (toks, start)
+  }
+
+  /** N5/F5: lexical-head SUBJECTS of a label — the trailing connector-run
+    * of the HEAD SPAN (not of the whole label), in reverse label order
+    * (the reference walks the head in reverse). "Princesses of France" →
+    * Seq("Princesses"); "Essays, poems and plays" → plays/poems/Essays. */
+  def lexheadSubjectsJava(label: String): Seq[String] = {
+    val (toks, start) = headSpanWithZone(label)
+    if (toks.isEmpty) return Nil
+    val connectors = Set("and", "or")
+    (start until toks.length).reverse
+      .map(toks(_))
+      .filterNot(t => connectors(t.toLowerCase))
+      .map(_.stripSuffix(","))
+      .filter(_.nonEmpty)
+  }
+
+  /** Subject lemmas (≙ nlp_util.get_lexhead_subjects: lemmatized LHS
+    * tokens): lowercased singular forms — the blocking key of the
+    * reference's head-lemma graph surgery. */
+  def lexheadSubjectLemmasJava(label: String): Set[String] =
+    lexheadSubjectsJava(label).map(s => singularizeJava(s.toLowerCase)).toSet
+
+  /** Lexical-head info for taxonomy surgery (≙ hierarchy_graph.py:44-60
+    * get_node_LHS / get_node_LH / get_node_NH):
+    *  - `subjects`: LHS lemmas (blocking key);
+    *  - `remainder`: non-subject head-span tokens, lowercased (compound
+    *    modifiers — "science", "fiction" of "Science fiction writers");
+    *  - `nonHead`: everything after the head span ("of France"). */
+  case class HeadInfo(subjects: Set[String], remainder: Set[String],
+                      nonHead: String)
+
+  def headInfoJava(label: String): HeadInfo = {
+    val (toks, start) = headSpanWithZone(label)
+    val remainder = toks.take(start)
+      .map(_.stripSuffix(",").toLowerCase).filter(_.nonEmpty).toSet
+    val all = canonicalLabelJava(label)
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    val nonHead = all.drop(toks.length).mkString(" ")
+    HeadInfo(lexheadSubjectLemmasJava(label), remainder, nonHead)
+  }
+
+  /** Multi-token lexical-head key (N5): the FULL head span — modifiers
+    * lowercased, subjects singularized, connectors/commas dropped — so
+    * "Science fiction writers" keys as "science fiction writer", distinct
+    * from "Fiction writers" → "fiction writer" (pre-r3 both keyed
+    * "writer"), and "Princesses of France" keys as "princess" (not
+    * "france"). */
+  def headKeyJava(label: String): String = {
+    val (toks, start) = headSpanWithZone(label)
+    val connectors = Set("and", "or")
+    toks.zipWithIndex.flatMap { case (raw, i) =>
+      val t = raw.stripSuffix(",").toLowerCase
+      if (t.isEmpty || connectors(t)) None
+      else if (i >= start) Some(singularizeJava(t))
+      else Some(t)
+    }.mkString(" ")
   }
 
   /** has_plural_lexhead_subjects (`impl/util/nlp.py:109-115`): true iff

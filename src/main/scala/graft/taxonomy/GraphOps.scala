@@ -137,28 +137,78 @@ object GraphOps {
   }
 
   /** G6: attach orphan nodes (no parent) to the best lexical-head match
-    * among candidate parents, else to `root` (`hierarchy_graph.py:64-131`).
-    * headKey: node → its head lemma; candidates keyed by the same. */
+    * among connected candidates, else to `root` — the faithful
+    * find_parents_by_headlemma_match (`hierarchy_graph.py:85-131`):
+    *
+    *  1. candidates = connected nodes sharing a SUBJECT lemma (LHS) with
+    *     the orphan AND an equal non-head part (NH) — minus the orphan's
+    *     own descendants (the reference subtracts them to stay acyclic);
+    *  2. drop candidates whose head-span remainder (LH) carries lemmas the
+    *     orphan lacks ("Science fiction writers" can never parent "Fiction
+    *     writers"); rank the rest by remainder overlap, keep ALL argmax
+    *     winners (>0), else the most generic (empty-remainder) candidates;
+    *  3. when step 2 is empty and the orphan HAS a non-head part, retry
+    *     with NH-free candidates (`:111-114`);
+    *  4. still nothing → the root.
+    *
+    * Orphan mapping is computed against the ORIGINAL edge set (the
+    * reference builds the full node→parents dict first, then adds edges),
+    * so one orphan never becomes another's parent within the pass. */
   def appendUnconnected(edges: Seq[Edge], allNodes: Seq[String],
                         root: String,
-                        headKey: String => String): Seq[Edge] = {
+                        info: String => graft.core.Normalize.HeadInfo): Seq[Edge] = {
     val hasParent = edges.map(_._2).toSet
     val orphans = allNodes.filterNot(hasParent).filterNot(_ == root).sorted
-    val byHead = allNodes.filter(hasParent)
-      .groupBy(headKey).view.mapValues(_.min).toMap
-    edges ++ orphans.map { o =>
-      val parent = byHead.get(headKey(o)).filterNot(_ == o).getOrElse(root)
-      (parent, o)
+    val connected = allNodes.filter(n => hasParent(n) && n != root)
+    val infoOf = allNodes.map(n => n -> info(n)).toMap
+    val byLemma: Map[String, Seq[String]] = connected
+      .flatMap(n => infoOf(n).subjects.toSeq.map(_ -> n))
+      .groupMap(_._1)(_._2)
+    val adj = edges.groupMap(_._1)(_._2)
+    def descendants(n: String): Set[String] = {
+      val seen = scala.collection.mutable.Set[String]()
+      def go(x: String): Unit = adj.getOrElse(x, Nil).foreach { c =>
+        if (!seen(c)) { seen += c; go(c) }
+      }
+      go(n); seen.toSet
+    }
+    edges ++ orphans.flatMap { o =>
+      val oi = infoOf(o)
+      val desc = descendants(o)
+      val cands = oi.subjects.toSeq.sorted
+        .flatMap(l => byLemma.getOrElse(l, Nil))
+        .distinct.filter(c => c != o && !desc(c))
+      def pick(in: Seq[String]): Seq[String] = {
+        val fitting = in.filter(c =>
+          infoOf(c).remainder.subsetOf(oi.remainder))
+        val scored = fitting.map(c =>
+          c -> (infoOf(c).remainder & oi.remainder).size)
+        val mx = scored.map(_._2).maxOption.getOrElse(0)
+        if (mx > 0) scored.filter(_._2 == mx).map(_._1)
+        else fitting.filter(c => infoOf(c).remainder.isEmpty)
+      }
+      val exact = pick(cands.filter(c => infoOf(c).nonHead == oi.nonHead))
+      val best =
+        if (exact.nonEmpty) exact
+        else if (oi.nonHead.nonEmpty)
+          pick(cands.filter(c => infoOf(c).nonHead.isEmpty))
+        else Nil
+      if (best.nonEmpty) best.sorted.map(p => (p, o))
+      else Seq((root, o))
     }
   }
 
-  /** G7/N12: keep parent→child edges only when the head lemmas are
-    * hypernym-related per the supplied relation (e.g. Hearst counts or a
-    * WordNet-style set) — `hierarchy_graph.py:155-165`. */
-  def filterEdgesByHypernymy(edges: Seq[Edge], headKey: String => String,
+  /** G7/N12: keep parent→child edges only when SOME (parent subject lemma,
+    * child subject lemma) pair is synonym- or hypernym-related —
+    * `hierarchy_graph.py:155-165` _is_hierarchical_edge iterates the full
+    * LHS × LHS cross product (the reference's is_hypernym treats equal
+    * words as synonyms, hence the `pl == cl` arm). `isHypernym` keeps the
+    * (childLemma, parentLemma) argument order used across this repo. */
+  def filterEdgesByHypernymy(edges: Seq[Edge],
+                             subjects: String => Set[String],
                              isHypernym: (String, String) => Boolean): Seq[Edge] =
     edges.filter { case (p, c) =>
-      val hp = headKey(p); val hc = headKey(c)
-      hp == hc || isHypernym(hc, hp)
+      val ps = subjects(p); val cs = subjects(c)
+      ps.exists(pl => cs.exists(cl => pl == cl || isHypernym(cl, pl)))
     }
 }

@@ -35,13 +35,18 @@ object TaxonomyMerge {
     Normalize.hasPluralLexheadSubjectsJava(label)
 
   /** edges = (parent, child); labels = node → display label; isHypernym =
-    * (childHead, parentHead) relation (e.g. Hearst-count lookup). */
+    * (childHeadLemma, parentHeadLemma) relation (e.g. Hearst-count lookup). */
   def merge(edges: Seq[(String, String)], labels: Map[String, String],
             root: String,
             isHypernym: (String, String) => Boolean = (_, _) => true)
       : Result = {
     def labelOf(n: String) = labels.getOrElse(n, n)
-    def headKey(n: String) = Normalize.headKeyJava(labelOf(n))
+    // head info is pure in the label — memoized per node for the repeated
+    // append/filter passes below
+    val infoCache = scala.collection.mutable.Map.empty[String, Normalize.HeadInfo]
+    def headInfo(n: String): Normalize.HeadInfo =
+      infoCache.getOrElseUpdate(n, Normalize.headInfoJava(labelOf(n)))
+    def subjectsOf(n: String): Set[String] = headInfo(n).subjects
 
     // 1. conceptual filter + re-attach
     val allNodes = (edges.flatMap(e => Seq(e._1, e._2)) :+ root).distinct
@@ -50,7 +55,7 @@ object TaxonomyMerge {
     val dropped = allNodes.filterNot(keptSet).toSet
     val conceptualEdges = edges.filter(e => keptSet(e._1) && keptSet(e._2))
     val attached = GraphOps.appendUnconnected(conceptualEdges, kept, root,
-                                              headKey)
+                                              headInfo)
 
     // 2. merge by canonical label
     val (mergedEdges, merged) = GraphOps.mergeByLabel(attached,
@@ -60,16 +65,16 @@ object TaxonomyMerge {
     val acyclic = GraphOps.removeCycles(mergedEdges)
 
     // 4. hypernymy edge filter + re-attach
-    val related = GraphOps.filterEdgesByHypernymy(acyclic, headKey,
+    val related = GraphOps.filterEdgesByHypernymy(acyclic, subjectsOf,
                                                   isHypernym)
     val mergedNodes = (acyclic.flatMap(e => Seq(e._1, e._2)) :+ root).distinct
     val reattached = GraphOps.appendUnconnected(related, mergedNodes, root,
-                                                headKey)
+                                                headInfo)
 
     // 5. transitive reduction, 6. final append
     val reduced = GraphOps.transitiveReduction(reattached)
     val finalNodes = (reduced.flatMap(e => Seq(e._1, e._2)) :+ root).distinct
-    Result(GraphOps.appendUnconnected(reduced, finalNodes, root, headKey)
+    Result(GraphOps.appendUnconnected(reduced, finalNodes, root, headInfo)
              .distinct,
            merged, dropped)
   }

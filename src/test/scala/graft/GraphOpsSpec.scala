@@ -37,20 +37,80 @@ class GraphOpsSpec extends SparkSuite {
       ("Films", "Comedies"), ("Films", "Dramas")))
   }
 
-  test("appendUnconnected attaches orphans by head key, else root") {
-    val edges = Seq(("root", "French cities"))
-    val all = Seq("root", "French cities", "German cities", "Oddball")
-    val head = (s: String) => s.split(" ").last
-    val got = GraphOps.appendUnconnected(edges, all, "root", head)
-    assert(got.contains(("French cities", "German cities")))
+  private val headInfoOf = (s: String) => graft.core.Normalize.headInfoJava(s)
+
+  test("appendUnconnected attaches orphans by subject lemma, else root") {
+    // 'German cities' shares subject lemma 'city' with connected 'Cities'
+    // (its own remainder {german} is a superset of Cities' {}); 'Oddball'
+    // matches nothing and falls to root
+    val edges = Seq(("root", "Cities"))
+    val all = Seq("root", "Cities", "German cities", "Oddball")
+    val got = GraphOps.appendUnconnected(edges, all, "root", headInfoOf)
+    assert(got.contains(("Cities", "German cities")))
     assert(got.contains(("root", "Oddball")))
   }
 
-  test("filterEdgesByHypernymy keeps hypernym-supported edges") {
-    val edges = Seq(("Animals", "Cats"), ("Animals", "Tables"))
-    val hyper = Set(("cats", "animals"))
+  test("appendUnconnected: multi-token head span ranks and gates parents") {
+    // VERDICT r2 ask #6 (reference hierarchy_graph.py:120-131):
+    // 'Science fiction writers' attaches under 'Fiction writers' (best
+    // remainder overlap beats the generic 'Writers') ...
+    val e1 = Seq(("root", "Writers"), ("Writers", "Fiction writers"))
+    val all1 = Seq("root", "Writers", "Fiction writers",
+                   "Science fiction writers")
+    val got1 = GraphOps.appendUnconnected(e1, all1, "root", headInfoOf)
+    assert(got1.contains(("Fiction writers", "Science fiction writers")))
+    assert(!got1.contains(("Writers", "Science fiction writers")))
+    // ... but NOT vice versa: a candidate whose remainder carries lemmas
+    // the orphan lacks is gated out, so 'Fiction writers' goes under the
+    // generic 'Writers', never under 'Science fiction writers'
+    val e2 = Seq(("root", "Writers"), ("Writers", "Science fiction writers"))
+    val all2 = Seq("root", "Writers", "Science fiction writers",
+                   "Fiction writers")
+    val got2 = GraphOps.appendUnconnected(e2, all2, "root", headInfoOf)
+    assert(got2.contains(("Writers", "Fiction writers")))
+    assert(!got2.contains(("Science fiction writers", "Fiction writers")))
+    // the reference's own code path (not its docstring): the argmax is
+    // EXCLUSIVE — 'Israeli speculative fiction writers' picks the 2-lemma
+    // overlap over the 1-lemma one
+    val e3 = Seq(("root", "Israeli writers"),
+                 ("root", "Speculative fiction writers"))
+    val all3 = Seq("root", "Israeli writers", "Speculative fiction writers",
+                   "Israeli speculative fiction writers")
+    val got3 = GraphOps.appendUnconnected(e3, all3, "root", headInfoOf)
+    assert(got3.contains(
+      ("Speculative fiction writers", "Israeli speculative fiction writers")))
+    assert(!got3.contains(
+      ("Israeli writers", "Israeli speculative fiction writers")))
+  }
+
+  test("appendUnconnected: non-head part must match, else NH-free fallback") {
+    // 'Rivers of Europe' ≠ NH 'of Asia' → exact candidates empty; the
+    // NH-free fallback (hierarchy_graph.py:111-114) finds bare 'Rivers'
+    val edges = Seq(("root", "Rivers of Asia"), ("root", "Rivers"))
+    val all = Seq("root", "Rivers of Asia", "Rivers", "Rivers of Europe")
+    val got = GraphOps.appendUnconnected(edges, all, "root", headInfoOf)
+    assert(got.contains(("Rivers", "Rivers of Europe")))
+    assert(!got.contains(("Rivers of Asia", "Rivers of Europe")))
+    // NH equality wins when present: 'Lakes of Europe' exactly matches the
+    // NH of 'Rivers of Europe'? No — different subject lemma. But a second
+    // of-Europe rivers node does
+    val e2 = Seq(("root", "Long rivers of Europe"), ("root", "Rivers"))
+    val all2 = Seq("root", "Long rivers of Europe", "Rivers",
+                   "Rivers of Europe")
+    // orphan remainder {} cannot absorb candidate remainder {long} → the
+    // NH-equal candidate is gated, NH-free fallback 'Rivers' wins
+    val got2 = GraphOps.appendUnconnected(e2, all2, "root", headInfoOf)
+    assert(got2.contains(("Rivers", "Rivers of Europe")))
+  }
+
+  test("filterEdgesByHypernymy crosses subject-lemma sets") {
+    val edges = Seq(("Animals", "Cats"), ("Animals", "Tables"),
+                    ("Animals", "Cats and dogs"))
+    val hyper = Set(("cat", "animal"))
     val got = GraphOps.filterEdgesByHypernymy(
-      edges, _.toLowerCase, (c, p) => hyper((c, p)))
-    assert(got == Seq(("Animals", "Cats")))
+      edges, s => graft.core.Normalize.lexheadSubjectLemmasJava(s),
+      (c, p) => hyper((c, p)))
+    // 'Cats and dogs' survives through ANY pair — (cat, animal) suffices
+    assert(got == Seq(("Animals", "Cats"), ("Animals", "Cats and dogs")))
   }
 }

@@ -81,17 +81,49 @@ class NormalizeNtSpec extends SparkSuite {
                    "London",
                    "Novels and films",      // both plural -> conceptual
                    "Film and books",        // singular 'Film' vetoes
-                   "Essays, poems and plays" // comma list, all plural
+                   "Essays, poems and plays", // comma list, all plural
+                   // the dominant '<plural> of <place>' conceptual shape:
+                   // the head anchors at the FRONT (components.py:12-44) —
+                   // the r2 end-anchored walk misread these (ADVICE r2 high)
+                   "Princesses of France",
+                   "Rivers of Europe",
+                   "Paris of the East"      // singular head, 'of' NH
                    ).toDF("label")
     val got = graft.mine.Categories.conceptual(cats).as[String].collect().toSet
     assert(got == Set("Reptiles", "Princesses",
                       "African musical instruments",
-                      "Novels and films", "Essays, poems and plays"))
+                      "Novels and films", "Essays, poems and plays",
+                      "Princesses of France", "Rivers of Europe"))
     // scala twin ≡ expression path
     assert(Normalize.hasPluralLexheadSubjectsJava("Novels and films"))
     assert(!Normalize.hasPluralLexheadSubjectsJava("Film and books"))
     assert(Normalize.lexheadSubjectsJava("Essays, poems and plays") ==
            Seq("plays", "poems", "Essays"))
+    // head span truncates at the first preposition, subjects walk ITS tail
+    assert(Normalize.lexheadSubjectsJava("Princesses of France") ==
+           Seq("Princesses"))
+    assert(Normalize.lexheadSubjectsJava("Novels and essays from Spain") ==
+           Seq("essays", "Novels"))
+  }
+
+  test("multi-token head key + head info (N5, VERDICT r2 ask #6)") {
+    // head KEY covers the full compound span
+    assert(Normalize.headKeyJava("Science fiction writers") ==
+           "science fiction writer")
+    assert(Normalize.headKeyJava("Fiction writers") == "fiction writer")
+    assert(Normalize.headKeyJava("Writers") == "writer")
+    // ... and anchors at the front, not the 'of'-phrase
+    assert(Normalize.headKeyJava("Princesses of France") == "princesse") // naive -s chain
+    assert(Normalize.headKeyJava("Rivers of Europe") == "river")
+    // degenerate title starting with a stopper keeps its full run
+    assert(Normalize.lexheadTokensJava("Of Mice and Men") ==
+           Seq("Of", "Mice", "and", "Men"))
+    // HeadInfo splits subjects / remainder / non-head like the reference's
+    // LHS / LH / NH (hierarchy_graph.py:44-60)
+    val hi = Normalize.headInfoJava("Science fiction writers of Europe")
+    assert(hi.subjects == Set("writer"))
+    assert(hi.remainder == Set("science", "fiction"))
+    assert(hi.nonHead == "of Europe")
   }
 
   test("singularize") {
