@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_embedding_ivf"     -> (Dedup.embeddingCosineIvf _),
     "ann_bruteforce_topk"     -> (Ann.bruteForceTopK _),
     "ann_ivf_topk"            -> (Ann.ivfTopK _),
+    "ann_ivf_multiprobe"      -> (Ann.ivfMultiProbe _),
     "ann_lsh_cosine"          -> (Ann.lshCosine _),
     "text_lang_id"            -> (TextOps.langId _),
     "text_quality_score"      -> (TextOps.qualityScore _),
@@ -209,6 +210,7 @@ object SparkEntry {
     "dedup_embedding_ivf"    -> Dedup.embeddingCosineIvfSql,
     "ann_bruteforce_topk"    -> Ann.bruteForceTopKSql,
     "ann_ivf_topk"           -> Ann.ivfTopKSql,
+    "ann_ivf_multiprobe"     -> Ann.ivfMultiProbeSql,
     "ann_lsh_cosine"         -> Ann.lshCosineSql,
     "text_lang_id"           -> TextOps.langIdSql,
     "text_quality_score"     -> TextOps.qualityScoreSql,

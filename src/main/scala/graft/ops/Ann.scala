@@ -64,35 +64,73 @@ object Ann {
        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos
        FROM r WHERE rnk <= 5"""
 
-  /** IVF top-3: centroids = vectors with vec_id < 8 (deterministic stand-in
-    * for k-means output); every vector assigned to its argmax-cosine cell
-    * (tie-break: centroid id asc); queries (vec_id in [8,13)) search only
-    * their own cell. */
+  /** The deterministic centroid FIXTURE (vectors with vec_id < 8) — the
+    * oracle-reproducible stand-in that [[Kmeans.train]] output replaces in
+    * production (r2 VERDICT: centroids are now an INPUT, not a constant
+    * baked into the operator). */
+  def fixtureCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+
+  /** Assign every vector to its `nProbe` best centroid cells (argmax
+    * cosine, tie-break centroid id asc) — one broadcast join, no corpus
+    * shuffle (the argmax window keys on vec_id, unique per row). nProbe is
+    * the IVF recall knob: probing p cells recovers boundary pairs that
+    * top-1 assignment splits across cells. Output: (vec_id, emb, cell,
+    * probe_rank 1..nProbe). */
+  def assignCells(e: DataFrame, centroids: DataFrame,
+                  nProbe: Int = 1): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    e.join(broadcast(centroids))
+      .withColumn("ccos", cosine(col("emb"), col("ce")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= nProbe)
+      .select(col("vec_id"), col("emb"), col("cent_id").as("cell"),
+              col("arn").as("probe_rank"))
+  }
+
+  /** IVF top-3 with the oracle fixture centroids, nProbe = 1 (the driver
+    * CORRECTNESS query — exact DuckDB twin below). */
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cent_id").asc)
-    val assigned = e.join(broadcast(cents))
-      .withColumn("ccos", cosine(col("emb"), col("ce")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("emb"), col("cent_id").as("cell"))
-    val q = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+    ivfTopK(e, fixtureCentroids(e), nProbe = 1)
+  }
+
+  /** IVF top-3, centroids as an input table (k-means output at scale —
+    * [[Kmeans.train]]), queries probing their `nProbe` best cells; corpus
+    * vectors are indexed in their top-1 cell (the standard IVF layout:
+    * multi-probe widens the QUERY side only, so the index stays one cell
+    * per vector). Queries = vec_id in [8,13) as in the fixture contract. */
+  def ivfTopK(e: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
+    val indexed = assignCells(e, centroids, nProbe = 1)
+      .select(col("vec_id").as("neighbor_id"), col("emb").as("ne"),
+              col("cell"))
+    val q = assignCells(e.filter(col("vec_id") >= 8 && col("vec_id") < 13),
+                        centroids, nProbe)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("cell"))
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    assigned
-      .select(col("vec_id").as("neighbor_id"), col("emb").as("ne"), col("cell"))
+    indexed
       .join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      // a (query, neighbor) pair can surface through several probed cells
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosine(col("qe"), col("ne")))
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
               round(col("cos"), 6).as("cos"))
+  }
+
+  /** The multi-probe driver query: same fixture centroids, nProbe = 2 —
+    * the recall knob itself is oracle-checked (top-2 cells are as
+    * SQL-expressible as top-1). */
+  def ivfMultiProbe(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    ivfTopK(e, fixtureCentroids(e), nProbe = 2)
   }
 
   /** Random-hyperplane LSH (SimHash-for-cosine) candidate retrieval — the
@@ -207,6 +245,38 @@ object Ann {
           FROM q JOIN assigned a ON q.cell=a.cell AND a.vec_id <> q.query_id),
        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM cand)
+       SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos
+       FROM r WHERE rnk <= 3"""
+
+  val ivfMultiProbeSql: String =
+    """WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+       cents AS (SELECT vec_id AS cent_id, emb AS ce FROM e WHERE vec_id < 8),
+       sc AS (SELECT e.vec_id, e.emb, c.cent_id,
+          list_sum(list_transform(range(1, len(emb)+1), i -> emb[i]*ce[i]))
+          / (sqrt(list_sum(list_transform(range(1, len(emb)+1), i -> emb[i]*emb[i])))
+           * sqrt(list_sum(list_transform(range(1, len(ce)+1), i -> ce[i]*ce[i]))))
+          AS ccos
+          FROM e CROSS JOIN cents c),
+       ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY ccos DESC, cent_id ASC) AS arn FROM sc),
+       indexed AS (SELECT vec_id, emb, cent_id AS cell FROM ranked
+                   WHERE arn = 1),
+       q AS (SELECT vec_id AS query_id, emb AS qe, cent_id AS cell
+             FROM ranked WHERE arn <= 2 AND vec_id >= 8 AND vec_id < 13),
+       cand AS (SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+                FROM q JOIN indexed a
+                  ON q.cell = a.cell AND a.vec_id <> q.query_id),
+       scored AS (SELECT c.query_id, c.neighbor_id,
+          list_sum(list_transform(range(1, len(qe.emb)+1), i -> qe.emb[i]*ne.emb[i]))
+          / (sqrt(list_sum(list_transform(range(1, len(qe.emb)+1), i -> qe.emb[i]*qe.emb[i])))
+           * sqrt(list_sum(list_transform(range(1, len(ne.emb)+1), i -> ne.emb[i]*ne.emb[i]))))
+          AS cos
+          FROM cand c JOIN e qe ON c.query_id = qe.vec_id
+                      JOIN e ne ON c.neighbor_id = ne.vec_id),
+       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM scored)
        SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos
        FROM r WHERE rnk <= 3"""
 }
