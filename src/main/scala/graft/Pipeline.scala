@@ -1,12 +1,12 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Normalize
 import graft.ingest.TextExtract
 import graft.listings.ListingExtract
 import graft.link.AliasLink
-import graft.canonical.NilCluster
+import graft.canonical.{AlignmentGraph, NilCluster}
 import graft.taxonomy.{Disjointness, RuleMining}
 import graft.emit.TripleEmit
 import graft.runtime.StageRunner
@@ -30,14 +30,42 @@ object Pipeline {
                    taxonomyEdges: DataFrame, disjointPairs: DataFrame,
                    seedRelations: DataFrame, redirects: DataFrame = null)
 
+  /** How mentions become canonical entities (step 4). */
+  sealed trait Canonicalization
+  object Canonicalization {
+    /** Linked mentions keep their broadcast-argmax entity; NIL mentions
+      * cluster via connected components over the mention↔key bipartite
+      * graph ([[NilCluster]]). The cheap default. */
+    case object Components extends Canonicalization
+
+    /** The reference's PRODUCTION ED path
+      * (`entity_disambiguation/__init__.py:20-89`): ALL kept mentions +
+      * their scored dictionary candidates form the alignment graph
+      * ([[AlignmentGraph]]), split by [[graft.canonical.NastyLinker]] —
+      * a mention attaches to an entity only when its best path score
+      * exceeds `pathThreshold`, so a weak-prior candidate (or a weak
+      * `meScore` Column — the bi-encoder seam) is DEMOTED to a new NIL
+      * entity even when the argmax join would have linked it. NIL cluster
+      * ids stay content-derived ("new:<alias key>" — every NIL cluster is
+      * same-key-connected because mention–mention edges only join equal
+      * keys), so ids match [[Components]] and stay partition-invariant. */
+    case class ScoredEd(meThreshold: Double = 0.5, mmThreshold: Double = 0.5,
+                        pathThreshold: Double = 0.75,
+                        meScore: Column = col("freq")) extends Canonicalization
+  }
+
   /** NIL labels more frequent than this with no known entity are boilerplate
     * and dropped (F9, ≙ `/root/reference/impl/wikipedia/__init__.py:59-67`,
     * threshold 50 there; lower here because the fixture corpus is small). */
   val MaxUnknownLabelFreq = 20
 
-  /** Run (or resume) the full pipeline; returns the triple table. */
+  /** Run (or resume) the full pipeline; returns the triple table.
+    * `canon` picks the canonicalization mode; resume is per-stage by name,
+    * so use a FRESH outDir when changing modes (mode-specific stages are
+    * name-suffixed, but downstream stages are shared). */
   def run(spark: SparkSession, pages: DataFrame, seeds: Seeds,
-          outDir: String, runId: String = "run-1"): DataFrame = {
+          outDir: String, runId: String = "run-1",
+          canon: Canonicalization = Canonicalization.Components): DataFrame = {
     Normalize.register(spark)
     val runner = new StageRunner(spark, outDir, runId)
     val sp = spark
@@ -79,17 +107,44 @@ object Pipeline {
       unlinked.join(broadcast(frequent), Seq("label"), "left_anti")
     }
 
-    // 4. NIL canonicalization via connected components
-    val nilAssign = runner.run("nil_entities") { NilCluster.cluster(keptUnlinked) }
-
-    // 5. subject-entity table: known + new
-    val subjects = runner.run("subjects") {
-      linked.select("url", "listing_key", "mention_id", "label", "ent")
-        .withColumn("is_new", lit(false))
-        .unionByName(
-          keptUnlinked.join(nilAssign, "mention_id")
-            .select("url", "listing_key", "mention_id", "label", "ent")
-            .withColumn("is_new", lit(true)))
+    // 4 + 5. canonicalization → subject-entity table (known + new)
+    def fresh(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c => col(c).as(c)): _*)
+    val subjects = canon match {
+      case Canonicalization.Components =>
+        // 4a. NIL canonicalization via connected components
+        val nilAssign = runner.run("nil_entities") {
+          NilCluster.cluster(keptUnlinked)
+        }
+        runner.run("subjects") {
+          linked.select("url", "listing_key", "mention_id", "label", "ent")
+            .withColumn("is_new", lit(false))
+            .unionByName(
+              keptUnlinked.join(nilAssign, "mention_id")
+                .select("url", "listing_key", "mention_id", "label", "ent")
+                .withColumn("is_new", lit(true)))
+        }
+      case Canonicalization.ScoredEd(meT, mmT, pathT, meScore) =>
+        // 4b. scored ED over ALL kept mentions: alignment graph (full
+        // candidate dictionary, not the argmax-reduced one) → NastyLinker.
+        // ONE corpus-side pass builds the graph; the split decides linked
+        // vs NIL, overriding the prior-argmax join above.
+        runner.run("subjects_ed") {
+          val keptAll = fresh(linked)
+            .unionByName(fresh(keptUnlinked)
+              .withColumn("ent", lit(null).cast("string")))
+          val assign = AlignmentGraph.disambiguate(
+            keptAll.select("mention_id", "label"), dict,
+            meT, mmT, pathT, meScore)
+          keptAll.drop("ent")
+            .join(assign.select(col("mention_id"),
+                                col("ent").as("ed_ent")), "mention_id")
+            .select(col("url"), col("listing_key"), col("mention_id"),
+                    col("label"),
+                    coalesce(col("ed_ent"),
+                             concat(lit("new:"), col("key"))).as("ent"),
+                    col("ed_ent").isNull.as("is_new"))
+        }
     }
 
     // 6. rule mining + taxonomy-aware type inference

@@ -75,6 +75,7 @@ object SparkEntry {
     // — KG-construction stages over documents-as-pages —
     "kg_extract_invariant"    -> (KgQueries.extractInvariant _),
     "kg_triples"              -> (KgQueries.triples _),
+    "ed_alignment_edges"      -> (KgQueries.alignmentEdges _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -231,5 +232,6 @@ object SparkEntry {
     "j9_bm25_topk"           -> graft.link.Bm25.topKSql,
     "kg_extract_invariant"   -> KgQueries.extractInvariantOracle,
     "kg_triples"             -> KgQueries.triplesOracle,
+    "ed_alignment_edges"     -> KgQueries.alignmentEdgesOracle,
   )
 }

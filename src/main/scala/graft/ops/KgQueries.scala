@@ -71,4 +71,47 @@ object KgQueries {
   def extractInvariantOracle: String =
     """SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
        length(text) AS text_len FROM documents"""
+
+  /** The alignment-graph EDGE BUILD (the scored-ED input,
+    * `greedy_clustering.py:26-35`) as a driver oracle row: deterministic
+    * mentions (one per part row, ~6-7 sharing each "Widget n%300" label so
+    * MM buckets stay under the cap) × a 100-entry prior dictionary (only
+    * priors > 0.5 survive the ME threshold). Exercises the real
+    * [[graft.canonical.AlignmentGraph.build]] — broadcast dict join, null
+    * handling, bucket-capped MM self-join — against a pure-SQL twin. */
+  def alignmentEdges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.core.Normalize.register(s)
+    val mentions = Tables.part(s, d).select(
+      concat(lit("m"), col("p_partkey")).as("mention_id"),
+      concat(lit("Widget "), col("p_partkey") % 300).as("label"))
+    val dict = s.range(100).select(
+      concat(lit("widget"), col("id")).as("key"),
+      concat(lit("e"), col("id")).as("ent"),
+      (col("id") / 100.0).as("freq"))
+    graft.canonical.AlignmentGraph.build(mentions, dict)
+      .select(col("src"), col("dst"), round(col("weight"), 6).as("weight"))
+  }
+
+  val alignmentEdgesOracle: String =
+    """WITH m AS (SELECT 'm'||p_partkey AS mention_id,
+                  'Widget '||(p_partkey % 300) AS label FROM part),
+       keyed AS (SELECT mention_id,
+                   regexp_replace(lower(label), '[^a-z0-9]', '', 'g') AS key
+                 FROM m),
+       dict AS (SELECT 'widget'||n AS key, 'e'||n AS ent, n/100.0 AS freq
+                FROM range(100) t(n)),
+       me AS (SELECT 'm:'||k.mention_id AS src, 'e:'||d.ent AS dst,
+                least(coalesce(d.freq, 0.0), 1.0) AS weight
+              FROM keyed k JOIN dict d USING (key)
+              WHERE least(coalesce(d.freq, 0.0), 1.0) > 0.5),
+       small AS (SELECT * FROM (SELECT *,
+                   count(*) OVER (PARTITION BY key) AS bsize FROM keyed)
+                 WHERE bsize <= 50),
+       mm AS (SELECT 'm:'||a.mention_id AS src, 'm:'||b.mention_id AS dst,
+                1.0 AS weight
+              FROM small a JOIN small b
+                ON a.key = b.key AND a.mention_id < b.mention_id)
+       SELECT src, dst, round(weight, 6) AS weight FROM
+         (SELECT * FROM me UNION ALL SELECT * FROM mm)"""
 }

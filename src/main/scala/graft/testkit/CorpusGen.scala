@@ -306,6 +306,33 @@ object CorpusGen {
       }
       out.toSeq
     }
+
+    /** Expected triples in ScoredEd mode with meThreshold = 0.25 —
+      * hand-computed from the reference's split semantics
+      * (`greedy_clustering.py:83-102`): lowering the ME threshold admits
+      * the 0.3-prior edge "Ada Prime"→B, so the Ada component holds TWO
+      * entities and is split by best-path score. The "Ada Prime" mention's
+      * best path is 0.7 (direct edge to A) — NOT > 0.75 — so it is demoted
+      * to a NIL singleton:
+      *  - A's majority label becomes "Ada Prime A" (tie between
+      *    {"Ada Prime A", "Ada Prime AA"}, lexical min);
+      *  - a new entity new:adaprime appears with label "Ada Prime" and
+      *    mined types Scientist (the ada listing's type rule: 2/2 linked
+      *    subjects are Scientists) + transitive Person, Thing.
+      * Everything else is identical — every other alias has prior 1.0.
+      * At DEFAULT thresholds the Ada component has ONE entity (B's 0.3
+      * edge is cut) and the validity rule passes it through whole, so the
+      * scored output equals [[expectedTriples]] exactly. */
+    def expectedTriplesScoredSplit: Seq[Triple] = {
+      val ada = newEnt("Ada Prime")
+      expectedTriples
+        .filterNot(_ == Triple("Ada Prime A", Preds.Label, "Ada Prime", true)) ++
+        Seq(Triple("Ada Prime A", Preds.Label, "Ada Prime A", true),
+            Triple(ada, Preds.Label, "Ada Prime", true),
+            Triple(ada, Preds.Type, "Scientist", false),
+            Triple(ada, Preds.Type, "Person", false),
+            Triple(ada, Preds.Type, "Thing", false))
+    }
   }
 
   val default: World = World()

@@ -50,6 +50,47 @@ class PipelineSpec extends SparkSuite {
     assert(dirs.size >= 3, s"expected >=3 predicate partitions, got $dirs")
   }
 
+  test("scored ED mode ≡ CC mode at default thresholds (validity rule)") {
+    // the Ada alignment component holds ONE entity at meThreshold=0.5 (the
+    // 0.3-prior edge to B is cut), so greedy_clustering.py:71-77's validity
+    // rule passes the whole component through — identical triples
+    val outDir = SparkSuite.tempDir("graft-ed-default")
+    val triples = Pipeline.run(spark, world.pages.toDS().toDF(), seeds,
+      outDir, canon = Pipeline.Canonicalization.ScoredEd())
+    val pr = TripleDiff.diff(triples, world.expectedTriples.toDS().toDF())
+    assert(pr.precision == 1.0 && pr.recall == 1.0, s"scored-default: $pr")
+  }
+
+  test("scored ED mode splits the multi-entity component (hand-computed)") {
+    // meThreshold=0.25 admits "Ada Prime"→B (0.3): two entities in one
+    // component → NastyLinker split; the 0.7 path is NOT > 0.75, so the
+    // "Ada Prime" mention demotes to new:adaprime (greedy_clustering.py:83-102)
+    val outDir = SparkSuite.tempDir("graft-ed-split")
+    val triples = Pipeline.run(spark, world.pages.toDS().toDF(), seeds,
+      outDir, canon = Pipeline.Canonicalization.ScoredEd(meThreshold = 0.25))
+    val expected = world.expectedTriplesScoredSplit.toDS().toDF()
+    val pr = TripleDiff.diff(triples, expected)
+    if (pr.precision < 1.0 || pr.recall < 1.0) {
+      triples.join(expected, Seq("subj", "pred", "obj", "is_literal"),
+                   "left_anti").show(30, truncate = false)
+      expected.join(triples, Seq("subj", "pred", "obj", "is_literal"),
+                    "left_anti").show(30, truncate = false)
+    }
+    assert(pr.precision >= 0.95 && pr.recall >= 0.95, s"P/R gate: $pr")
+    assert(pr.precision == 1.0 && pr.recall == 1.0, s"split drift: $pr")
+  }
+
+  test("scored ED output is invariant to input partitioning") {
+    val pagesDf = world.pages.toDS().toDF()
+    def go(parts: Int, tag: String) =
+      Pipeline.run(spark, pagesDf.repartition(parts), seeds,
+        SparkSuite.tempDir(tag),
+        canon = Pipeline.Canonicalization.ScoredEd(meThreshold = 0.25))
+        .select("subj", "pred", "obj").as[(String, String, String)]
+        .collect().sorted
+    assert(go(1, "graft-ed-i1").sameElements(go(16, "graft-ed-i16")))
+  }
+
   test("pipeline output is invariant to input partitioning") {
     val out1 = SparkSuite.tempDir("graft-p1")
     val out2 = SparkSuite.tempDir("graft-p2")
