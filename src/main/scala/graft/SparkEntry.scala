@@ -40,6 +40,7 @@ object SparkEntry {
     "f9_frequent_label"     -> (MiningQueries.frequentLabelFilter _),
     "a15_property_freq"     -> (MiningQueries.propertyFreqSubtree _),
     "a11_disjointness"      -> (MiningQueries.disjointnessCosine _),
+    "cat2ax_pattern_probe"  -> (MiningQueries.cat2axPatternProbe _),
     "u2_set_difference"     -> (Relational.setDifference _),
     "g2_type_closure"       -> (Relational.typeClosure _),
     "g9_connected_components" -> (Relational.connectedComponents _),
@@ -203,6 +204,7 @@ object SparkEntry {
     "f9_frequent_label"      -> MiningQueries.frequentLabelFilterSql,
     "a15_property_freq"      -> MiningQueries.propertyFreqSubtreeSql,
     "a11_disjointness"       -> MiningQueries.disjointnessCosineSql,
+    "cat2ax_pattern_probe"   -> MiningQueries.cat2axPatternProbeSql,
     "dedup_exact"            -> Dedup.exactDedupSql,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccardSql,
     "dedup_minhash_lsh"      -> Dedup.minhashLshSql,

@@ -252,6 +252,56 @@ object MiningQueries {
        UNION ALL
        SELECT tpe, pred, freq, n_entities, via_subtree FROM sparse"""
 
+  // — Cat2Ax trie pattern probe (r2 VERDICT ask #3) —
+
+  /** Drives the REAL [[graft.mine.PatternProbe.probe]] (greedy trie walk,
+    * three dicts) over labels synthesized from `part` in the four classic
+    * Cat2Ax shapes — front ("Wines of X"), back ("X albums"), enclosing
+    * ("Best X of Europe"), and no-match. The pattern set has distinct
+    * first/last tokens, so the greedy walk coincides with plain affix
+    * matching and the DuckDB twin is expressible with LIKE + substr; the
+    * greedy-vs-backtracking divergence cases are pinned in MineSpec. */
+  def cat2axPatternProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cats = Tables.part(s, d).select(
+      col("p_partkey").cast("string").as("cat_id"),
+      when(col("p_partkey") % 4 === 0,
+           concat(lit("Wines of Country "), col("p_partkey") % 7))
+        .when(col("p_partkey") % 4 === 1,
+              concat(lit("Brand "), col("p_partkey") % 9, lit(" albums")))
+        .when(col("p_partkey") % 4 === 2,
+              concat(lit("Best Region "), col("p_partkey") % 5,
+                     lit(" of Europe")))
+        .otherwise(concat(lit("Nothing here "), col("p_partkey")))
+        .as("label"))
+    val patterns = Seq(("Wines of", ""), ("", "albums"), ("Best", "of Europe"))
+      .toDF("front_pattern", "back_pattern")
+    graft.mine.PatternProbe.probe(patterns, cats)
+  }
+
+  val cat2axPatternProbeSql: String =
+    """WITH cats AS (SELECT CAST(p_partkey AS VARCHAR) AS cat_id,
+         CASE WHEN p_partkey % 4 = 0
+                THEN 'Wines of Country ' || (p_partkey % 7)
+              WHEN p_partkey % 4 = 1
+                THEN 'Brand ' || (p_partkey % 9) || ' albums'
+              WHEN p_partkey % 4 = 2
+                THEN 'Best Region ' || (p_partkey % 5) || ' of Europe'
+              ELSE 'Nothing here ' || p_partkey END AS label
+         FROM part)
+       SELECT cat_id, 'front' AS dict, 'Wines of' AS front_pattern,
+              '' AS back_pattern, 2 AS front_len, 0 AS back_len,
+              substr(label, 10) AS text_diff
+       FROM cats WHERE label LIKE 'Wines of %'
+       UNION ALL
+       SELECT cat_id, 'back', '', 'albums', 0, 1,
+              substr(label, 1, length(label) - 7)
+       FROM cats WHERE label LIKE '% albums'
+       UNION ALL
+       SELECT cat_id, 'enclosing', 'Best', 'of Europe', 1, 2,
+              substr(label, 6, length(label) - 15)
+       FROM cats WHERE label LIKE 'Best % of Europe'"""
+
   // — A11: TF-IDF disjointness induction —
 
   /** Customer types (market segments) and supplier types (regions) carry

@@ -80,4 +80,61 @@ class MineSpec extends SparkSuite {
     // (c,d): wiki✗(5<10) only
     assert(got == Set(("a", "b", 2L), ("e", "f", 2L)))
   }
+
+  test("pattern probe: greedy trie walk reproduces _detect_patterns") {
+    import graft.mine.PatternProbe
+    // front dict with a short pattern and a longer diverging one
+    val t = PatternProbe.buildTrie(Seq(
+      (Seq("british"), Nil),
+      (Seq("british", "rock", "bands"), Nil)))
+    // greedy descent past 'british rock' then failure WITHOUT a HIT or
+    // REVERSE at that node -> None (the reference does NOT backtrack to
+    // the shorter 'british' pattern)
+    assert(PatternProbe.detect(t, Seq("british", "rock", "stars")).isEmpty)
+    // failing at the 'british' node finds its REVERSE->HIT
+    assert(PatternProbe.detect(t, Seq("british", "pop", "stars")) ==
+      Some((Seq("british"), Nil, 1, 0)))
+    // the longer path matches normally
+    assert(PatternProbe.detect(
+      t, Seq("british", "rock", "bands", "x")) ==
+      Some((Seq("british", "rock", "bands"), Nil, 3, 0)))
+    // label == pattern consumes every word -> no match (no text diff left)
+    assert(PatternProbe.detect(t, Seq("british")).isEmpty)
+    // enclosing: front prefix + back suffix via the REVERSE recursion
+    val e = PatternProbe.buildTrie(Seq(
+      (Seq("best"), Seq("of", "europe"))))
+    assert(PatternProbe.detect(
+      e, Seq("best", "lakes", "of", "europe")) ==
+      Some((Seq("best"), Seq("of", "europe"), 1, 2)))
+    assert(PatternProbe.detect(e, Seq("best", "lakes")).isEmpty)
+  }
+
+  test("pattern probe applies mined axioms beyond the originating sets") {
+    import graft.mine.{CategorySets, PatternProbe}
+    // sets discovered from one parent's children ...
+    val parentChild = Seq(
+      ("Wines", "c1", "Wines of France"),
+      ("Wines", "c2", "Wines of Spain"),
+      ("Wines", "c3", "Wines of Chile"),
+      ("Wines", "c4", "Sparkling producers")).toDF("parent", "cat_id", "label")
+    val sets = CategorySets.categorySets(parentChild)
+    val setIds = sets.select("set_id", "front_pattern", "back_pattern")
+      .distinct().collect()
+    assert(setIds.exists(_.getString(1) == "Wines of"), setIds.mkString(","))
+    // ... axioms mined for those sets (median over member freqs)
+    val wineSet = setIds.find(_.getString(1) == "Wines of").get.getString(0)
+    val memberFreqs = Seq(
+      ("c1", "type:Wine", 0.9), ("c2", "type:Wine", 0.8),
+      ("c3", "type:Wine", 0.7)).toDF("cat_id", "value", "freq")
+    val axioms = Cat2Ax.mineAxioms(sets, memberFreqs)
+    assert(axioms.filter(org.apache.spark.sql.functions.col("set_id") === wineSet).count() == 1)
+    // ... reach a NEW category never seen during set construction
+    val newCats = Seq(("n1", "Wines of Portugal"), ("n2", "Beers of Belgium"))
+      .toDF("cat_id", "label")
+    val applied = PatternProbe.axiomsForNewCats(sets, axioms, newCats)
+      .select("cat_id", "value", "text_diff")
+      .as[(String, String, String)].collect().toSet
+    assert(applied.contains(("n1", "type:Wine", "Portugal")), applied)
+    assert(!applied.exists(_._1 == "n2"))
+  }
 }
