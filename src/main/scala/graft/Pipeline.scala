@@ -177,12 +177,14 @@ object Pipeline {
               Seq("ent", "pred", "obj"), "left_anti") // J7: only NEW relations
     }
 
-    // 7. triples, partitioned by predicate
+    // 7. triples, partitioned by predicate (provenance: every subject
+    // entity wasDerivedFrom the pages mentioning it — serialize.py:231-239)
     runner.runPartitioned("triples", "pred") {
       TripleEmit.assemble(
         labels = subjects.select("ent", "label"),
         types = types,
-        rels = relations)
+        rels = relations,
+        provenance = subjects.select("ent", "url").distinct())
     }
   }
 }

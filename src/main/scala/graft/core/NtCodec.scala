@@ -203,8 +203,13 @@ object NtCodec {
       .otherwise(concat(lit("\""), esc, lit("\"@en")))
   }
 
+  /** Absolute IRIs (provenance page URLs) pass through verbatim — the
+    * reference serializes res2wiki_iri output unencoded
+    * (`serialize.py:158-164,231-239`); everything else is a resource NAME
+    * percent-encoded into the base namespace. */
   def resourceIri(c: Column): Column =
-    concat(lit("<" + Base), encodeResourceName(c), lit(">"))
+    when(c.rlike("^https?://"), concat(lit("<"), c, lit(">")))
+      .otherwise(concat(lit("<" + Base), encodeResourceName(c), lit(">")))
 
   def predicateIri(c: Column): Column =
     concat(lit("<" + PredBase),

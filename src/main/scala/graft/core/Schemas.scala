@@ -50,6 +50,8 @@ object Schemas {
     val LocatedIn = "clg:locatedIn"
     val MemberOf = "clg:memberOf"
     val SubClassOf = "rdfs:subClassOf"
+    /** ≙ RdfPredicate.WAS_DERIVED_FROM (`serialize.py:158-164,231-239`). */
+    val WasDerivedFrom = "prov:wasDerivedFrom"
   }
 
   /** NIL-entity sentinels (≙ EntityIndex, `impl/util/transformer.py:5-9`). */

@@ -30,12 +30,24 @@ object TripleEmit {
     rels.select(col("ent").as("subj"), col("pred"),
                 col("obj"), lit(false).as("is_literal"))
 
+  /** Provenance (≙ `serialize.py:231-239` _get_lines_instances_provenance):
+    * every subject entity wasDerivedFrom each page whose listings mention
+    * it — the page-url lineage the pipeline already carries per mention,
+    * finally reaching the triple table (r2 VERDICT missing #5). */
+  def provenanceTriples(prov: DataFrame): DataFrame =
+    prov.select(col("ent").as("subj"),
+                lit(Schemas.Preds.WasDerivedFrom).as("pred"),
+                col("url").as("obj"), lit(false).as("is_literal"))
+
   def assemble(labels: DataFrame, types: DataFrame,
-               rels: DataFrame): DataFrame =
-    majorityLabels(labels)
+               rels: DataFrame, provenance: DataFrame = null): DataFrame = {
+    val base = majorityLabels(labels)
       .unionByName(typeTriples(types))
       .unionByName(relationTriples(rels))
+    (if (provenance == null) base
+     else base.unionByName(provenanceTriples(provenance)))
       .distinct()
+  }
 
   /** N-Triples text rendering (one line per triple) — a single codegen'd
     * projection over the triple table. */

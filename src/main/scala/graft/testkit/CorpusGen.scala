@@ -304,6 +304,39 @@ object CorpusGen {
       Seq("Span Keep A", "Span Keep B", "Span Keep C").foreach { m =>
         out += Triple(newEnt(m), Preds.Label, m, true)
       }
+      out ++= expectedProvenance
+      out.toSeq
+    }
+
+    /** Provenance rows (ent, wasDerivedFrom, page url) for every surviving
+      * subject mention — computed from the same page-construction
+      * parameters (≙ serialize.py:231-239). */
+    def expectedProvenance: Seq[Triple] = {
+      def listUrl(kind: String, t: String, k: Int) =
+        s"https://example.org/$kind-of-${t.toLowerCase}s-of-country-$k"
+      val out = scala.collection.mutable.LinkedHashSet[Triple]()
+      for (t <- leafTypes; k <- 0 until nCountries;
+           kind <- Seq("list", "table")) {
+        val url = listUrl(kind, t, k)
+        members(t, k).foreach { m =>
+          val ent = if (m.startsWith("Mystery")) newEnt(m) else m
+          out += Triple(ent, Preds.WasDerivedFrom, url, false)
+        }
+      }
+      for (k <- 0 until nCountries) {
+        val url = s"https://example.org/mixed-of-country-$k"
+        Seq(entName("Scientist", k, 0), entName("Film", k, 0),
+            entName("Artist", k, 1), entName("Book", k, 1)).foreach(e =>
+          out += Triple(e, Preds.WasDerivedFrom, url, false))
+        out += Triple(newEnt(s"Mixed Mystery $k"), Preds.WasDerivedFrom,
+                      url, false)
+      }
+      val adaUrl = "https://example.org/people-called-ada"
+      out += Triple("Ada Prime A", Preds.WasDerivedFrom, adaUrl, false)
+      out += Triple("Ada Prime B", Preds.WasDerivedFrom, adaUrl, false)
+      val spansUrl = "https://example.org/span-tables"
+      Seq("Span Keep A", "Span Keep B", "Span Keep C").foreach(m =>
+        out += Triple(newEnt(m), Preds.WasDerivedFrom, spansUrl, false))
       out.toSeq
     }
 
@@ -331,7 +364,10 @@ object CorpusGen {
             Triple(ada, Preds.Label, "Ada Prime", true),
             Triple(ada, Preds.Type, "Scientist", false),
             Triple(ada, Preds.Type, "Person", false),
-            Triple(ada, Preds.Type, "Thing", false))
+            Triple(ada, Preds.Type, "Thing", false),
+            // the demoted mention's new entity derives from the ada page
+            Triple(ada, Preds.WasDerivedFrom,
+                   "https://example.org/people-called-ada", false))
     }
   }
 

@@ -203,4 +203,17 @@ class NormalizeNtSpec extends SparkSuite {
       .select(NtCodec.escapeLiteral(col("s"))).as[String].collect()
     assert(gotLit.toSeq == ins.map(NtCodec.escapeLiteralJava))
   }
+
+  test("NT renders provenance page URLs as raw IRIs (serialize.py:231-239)") {
+    val rows = Seq(("Ada Prime", "prov:wasDerivedFrom",
+                    "https://example.org/page-1", false))
+      .toDF("subj", "pred", "obj", "is_literal")
+    val got = rows.select(NtCodec.ntLine(col("subj"), col("pred"),
+      col("obj"), col("is_literal"))).as[String].collect().head
+    // the page URL passes through VERBATIM (no base-namespace wrapping),
+    // the predicate goes to the ontology namespace
+    assert(got.endsWith("<https://example.org/page-1> ."), got)
+    assert(got.contains("<http://graft.example.org/ontology/wasDerivedFrom>"), got)
+    assert(got.startsWith("<http://graft.example.org/resource/"), got)
+  }
 }
