@@ -68,4 +68,44 @@ class NtDataSourceSpec extends SparkSuite {
              s"round-trip: $n")
     }
   }
+
+  test("bz2-compressed dumps read identically through the codec path") {
+    val d = SparkSuite.tempDir("graft-ntbz2") + "/nt"
+    val triples = Seq(
+      ("Ada Prime", "rdf:type", "Scientist", false),
+      ("B", "rdfs:label", "Ada \"the first\" programmer", true),
+      ("C\u00e9zanne", "clg:locatedIn", "Country 1", false))
+      .toDF("subj", "pred", "obj", "is_literal")
+    TripleEmit.writeNt(triples, d, codec = "bzip2")
+    // the files really are .bz2
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+    assert(files(new java.io.File(d))
+      .exists(_.getName.endsWith(".bz2")))
+    val v2 = spark.read.format("graft-nt").load(d)
+      .as[(String, String, String, Boolean)].collect().toSet
+    val v1 = NtSource.read(spark, d)
+      .as[(String, String, String, Boolean)].collect().toSet
+    assert(v2 == v1 && v2.size == 3, s"$v2")
+    // pushdown still applies through the codec stream
+    assert(spark.read.format("graft-nt").load(d)
+      .filter(col("is_literal") === true).count() == 1)
+  }
+
+  test("large plain files split into line-aligned ranges, results identical") {
+    val d = SparkSuite.tempDir("graft-ntsplit") + "/nt"
+    val triples = (0 until 20000).map(i =>
+      (s"Entity padded name $i", "rdf:type", s"Type ${i % 7}", false))
+      .toDF("subj", "pred", "obj", "is_literal")
+    TripleEmit.writeNt(triples.coalesce(1), d)
+    val whole = spark.read.format("graft-nt").load(d)
+    val split = spark.read.format("graft-nt")
+      .option("maxSplitBytes", 64 * 1024).load(d)
+    assert(whole.rdd.getNumPartitions < split.rdd.getNumPartitions,
+      s"expected range splits: ${split.rdd.getNumPartitions}")
+    assert(split.rdd.getNumPartitions >= 10)
+    val a = whole.as[(String, String, String, Boolean)].collect().sorted
+    val b = split.as[(String, String, String, Boolean)].collect().sorted
+    assert(a.sameElements(b) && a.length == 20000)
+  }
 }
