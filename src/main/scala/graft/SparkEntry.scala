@@ -41,6 +41,7 @@ object SparkEntry {
     "a15_property_freq"     -> (MiningQueries.propertyFreqSubtree _),
     "a11_disjointness"      -> (MiningQueries.disjointnessCosine _),
     "cat2ax_pattern_probe"  -> (MiningQueries.cat2axPatternProbe _),
+    "f7_table_grid"         -> (MiningQueries.f7TableGrid _),
     "u2_set_difference"     -> (Relational.setDifference _),
     "g2_type_closure"       -> (Relational.typeClosure _),
     "g9_connected_components" -> (Relational.connectedComponents _),
@@ -205,6 +206,7 @@ object SparkEntry {
     "a15_property_freq"      -> MiningQueries.propertyFreqSubtreeSql,
     "a11_disjointness"       -> MiningQueries.disjointnessCosineSql,
     "cat2ax_pattern_probe"   -> MiningQueries.cat2axPatternProbeSql,
+    "f7_table_grid"          -> MiningQueries.f7TableGridSql,
     "dedup_exact"            -> Dedup.exactDedupSql,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccardSql,
     "dedup_minhash_lsh"      -> Dedup.minhashLshSql,

@@ -252,6 +252,82 @@ object MiningQueries {
        UNION ALL
        SELECT tpe, pred, freq, n_entities, via_subtree FROM sparse"""
 
+  // — F7: the relational table-grid parser as a driver oracle row —
+
+  /** One deterministic wikitable page per `part` row, shape keyed by
+    * p_partkey % 5, driving the REAL window-based parser
+    * ([[graft.listings.ListingExtract.mentionsRelational]] — the richest
+    * relational logic in the repo, r2 VERDICT ask #8). The oracle derives
+    * the surviving mentions INDEPENDENTLY from the generator parameters:
+    *  v=0 two clean tables (4+3 rows; table 1 also plants an all-digit
+    *      label that F8 must drop, leaving an item_idx gap) → keys
+    *      table:T and table:T#1;
+    *  v=1 a rowspan=2 row whose covered successor is span-affected and
+    *      skipped (labels 1,2,4,5 at idx 1-4);
+    *  v=2 a table killed by a 1-cell row, then a clean table that takes
+    *      the UNsuffixed key (numbering counts only survivors);
+    *  v=3 a 2-data-row table → dropped whole;
+    *  v=4 a colspan=2 row (span-affected, skipped) among 3 clean rows. */
+  def f7TableGrid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pages = Tables.part(s, d)
+      .select(col("p_partkey").cast("long")).as[Long]
+      .map(i => (s"https://x.org/t$i", f7PageText(i)))
+      .toDF("url", "text")
+    graft.listings.ListingExtract.mentionsRelational(pages)
+  }
+
+  private def f7PageText(i: Long): String = {
+    def tbl(rows: Seq[String]): Seq[String] =
+      Seq("{|", "! H !! N") ++ rows ++ Seq("|}")
+    def clean(prefix: String, ns: Seq[Int]): Seq[String] =
+      ns.flatMap(r => Seq("|-", s"| [[$prefix $i $r]] || x"))
+    val body: Seq[String] = (i % 5) match {
+      case 0 =>
+        tbl(clean("Alpha", Seq(1, 2, 3, 4)) ++
+            Seq("|-", "| [[12345]] || x")) ++ // F8: all-digit label dropped
+          tbl(clean("Beta", Seq(1, 2, 3)))
+      case 1 =>
+        tbl(Seq("|-", s"| [[Alpha $i 1]] || x",
+                "|-", s"""| rowspan="2" | [[Alpha $i 2]] || x""",
+                "|-", s"| [[Alpha $i 3]] under the rowspan",
+                "|-", s"| [[Alpha $i 4]] || x",
+                "|-", s"| [[Alpha $i 5]] || x"))
+      case 2 =>
+        tbl(clean("Killed", Seq(1, 2, 3)) ++ Seq("|-", "| lonely")) ++
+          tbl(clean("Gamma", Seq(1, 2, 3)))
+      case 3 =>
+        tbl(clean("Thin", Seq(1, 2)))
+      case _ =>
+        tbl(Seq("|-", s"| [[Alpha $i 1]] || x",
+                "|-", s"""| colspan="2" | [[Alpha $i 2]]""",
+                "|-", s"| [[Alpha $i 3]] || x",
+                "|-", s"| [[Alpha $i 4]] || x"))
+    }
+    (Seq("== T ==") ++ body).mkString("\n")
+  }
+
+  val f7TableGridSql: String =
+    """WITH expect(v, suffix, prefix, lbl, idx) AS (VALUES
+         (0, '', 'Alpha', 1, 1), (0, '', 'Alpha', 2, 2),
+         (0, '', 'Alpha', 3, 3), (0, '', 'Alpha', 4, 4),
+         (0, '#1', 'Beta', 1, 1), (0, '#1', 'Beta', 2, 2),
+         (0, '#1', 'Beta', 3, 3),
+         (1, '', 'Alpha', 1, 1), (1, '', 'Alpha', 2, 2),
+         (1, '', 'Alpha', 4, 3), (1, '', 'Alpha', 5, 4),
+         (2, '', 'Gamma', 1, 1), (2, '', 'Gamma', 2, 2),
+         (2, '', 'Gamma', 3, 3),
+         (4, '', 'Alpha', 1, 1), (4, '', 'Alpha', 3, 2),
+         (4, '', 'Alpha', 4, 3)),
+       parts AS (SELECT p_partkey AS i, CAST(p_partkey % 5 AS INT) AS v
+                 FROM part)
+       SELECT 'https://x.org/t'||i AS url,
+              'table:T'||suffix AS listing_key,
+              idx AS item_idx,
+              'https://x.org/t'||i||'#table:T'||suffix||'#'||idx AS mention_id,
+              prefix||' '||i||' '||lbl AS label
+       FROM parts JOIN expect USING (v)"""
+
   // — Cat2Ax trie pattern probe (r2 VERDICT ask #3) —
 
   /** Drives the REAL [[graft.mine.PatternProbe.probe]] (greedy trie walk,
