@@ -73,6 +73,9 @@ object SparkEntry {
       graft.streaming.Streams.sessionize(graft.core.Tables.events(s, d))),
     "stream_dedup" -> ((s, d) =>
       graft.streaming.Streams.dedupBatch(graft.core.Tables.events(s, d))),
+    "stream_join_attribution" -> ((s, d) =>
+      graft.streaming.Streams.attributionJoinBatch(
+        graft.core.Tables.events(s, d))),
     "j9_bm25_topk" -> ((s, d) => graft.link.Bm25.topK(s, d)),
     // — KG-construction stages over documents-as-pages —
     "kg_extract_invariant"    -> (KgQueries.extractInvariant _),
@@ -233,6 +236,7 @@ object SparkEntry {
     "stream_window_counts"   -> graft.streaming.Streams.windowedCountsSql,
     "stream_sessionize"      -> graft.streaming.Streams.sessionizeSql,
     "stream_dedup"           -> graft.streaming.Streams.dedupBatchSql,
+    "stream_join_attribution" -> graft.streaming.Streams.attributionJoinSql,
     "j9_bm25_topk"           -> graft.link.Bm25.topKSql,
     "kg_extract_invariant"   -> KgQueries.extractInvariantOracle,
     "kg_triples"             -> KgQueries.triplesOracle,

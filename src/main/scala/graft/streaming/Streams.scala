@@ -106,6 +106,60 @@ object Streams {
                               ORDER BY ts ASC, event_id ASC) AS rn
          FROM events) WHERE rn = 1"""
 
+  /** Stream-stream WATERMARKED JOIN (r2 stretch): attribute each view to
+    * the same user's clicks within the next 12 hours — the classic
+    * event-attribution join. This batch form is the DuckDB-checkable twin
+    * (one range-predicated join); [[streamingAttributionJoin]] is the
+    * stream-stream form whose state Spark bounds from the two watermarks
+    * plus the time-range condition. */
+  def attributionJoinBatch(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+              col("event_id").as("view_id"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+    views.join(clicks,
+        col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 12 HOURS"))
+      .select(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  val attributionJoinSql: String =
+    """WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+                  FROM events WHERE event_type = 'view'),
+       c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+             FROM events WHERE event_type = 'click')
+       SELECT v.user_id, view_id, click_id
+       FROM v JOIN c ON v.user_id = c.user_id
+        AND click_ts >= view_ts
+        AND click_ts <= view_ts + INTERVAL 12 HOUR"""
+
+  /** The stream-stream twin: both sides are streams, watermarked so the
+    * join state is DROPPABLE — a click matches views at most 12 h older,
+    * so view-side state older than watermark(click) − 12 h dies; at ingest
+    * scale state is bounded by rate × horizon, not by history. Inner join
+    * ⇒ results are emitted as matched; streaming ≡ batch asserted in
+    * StatefulSpec. */
+  def streamingAttributionJoin(spark: SparkSession, dir: String): DataFrame = {
+    val views = spark.readStream.schema(eventsSchema).parquet(dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+              col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = spark.readStream.schema(eventsSchema).parquet(dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+      .withWatermark("click_ts", "13 hours")
+    views.join(clicks,
+        col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 12 HOURS"))
+      .select(col("user_id"), col("view_id"), col("click_id"))
+  }
+
   /** The streaming twin: `dropDuplicatesWithinWatermark` on the same key —
     * state is bounded by the watermark horizon (the property that lets
     * this run forever at ingest scale; an unbounded dropDuplicates would

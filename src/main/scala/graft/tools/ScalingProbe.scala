@@ -13,6 +13,11 @@ object ScalingProbe {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // fine-grained scan splits: the corpus is many small files; default
+      // packing (128 MB + 4 MB open cost) folds them into ~9 coarse tasks,
+      // which caps an 8-thread run at ~2 waves with a straggler tail
+      .config("spark.sql.files.maxPartitionBytes", (2L * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (64L * 1024).toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.Normalize.register(spark)

@@ -69,6 +69,26 @@ class StatefulSpec extends SparkSuite {
     assert(spark.table("sdedup").count() == batch.size)
   }
 
+  test("stream-stream attribution join: streaming == batch result set") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = SparkSuite.tempDir("graft-sjoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf + "/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val q = Streams.streamingAttributionJoin(spark, dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sjoin").start()
+    q.processAllAvailable()
+    val streamed = spark.table("sjoin")
+      .as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    val batch = Streams
+      .attributionJoinBatch(graft.core.Tables.events(spark, sf))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch, s"streaming ${streamed.size} vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("A15 property frequencies with subtree fallback") {
     val types = Seq(("e1", "Scientist"), ("e2", "Scientist"),
                     ("e3", "Scientist"), ("e4", "Artist"))
