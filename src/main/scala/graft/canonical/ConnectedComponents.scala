@@ -25,14 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  import graft.runtime.Checkpoints
+
   /** edges(src, dst): undirected pairs (any orientation, self-loops ok).
     * Returns (node, component) for every node appearing in `edges`. */
   def run(edges: DataFrame): DataFrame = {
-    var e = symmetrize(edges).localCheckpoint()
+    var (e, eIds) = Checkpoints.tracked(symmetrize(edges))
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val (next, nextIds) = Checkpoints.tracked(smallStar(largeStar(e)))
       // Converged when the (directed, deduped) edge set is unchanged —
       // ONE action: both sides are distinct sets, so the edge sets are
       // equal iff the symmetric difference (count==1 groups of the union)
@@ -42,7 +44,10 @@ object ConnectedComponents {
       converged = fresh(next).unionByName(fresh(e))
         .groupBy("src", "dst").agg(count(lit(1)).as("c"))
         .filter(col("c") === 1).isEmpty
-      e = next
+      // the previous round's checkpoint is now unreachable — free it so a
+      // log-round loop holds TWO rounds of state, not all of them
+      Checkpoints.free(e, eIds)
+      e = next; eIds = nextIds
       iter += 1
     }
     // e is now a star forest: src -> root. Roots have no outgoing edge; add

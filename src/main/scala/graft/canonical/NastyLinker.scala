@@ -63,7 +63,7 @@ object NastyLinker {
     // — max-product propagation from entity nodes (threshold-pruned) —
     val entities = cc.filter(col("node").startsWith("e:"))
       .select(col("node"), col("node").as("ent"), lit(1.0).as("score"))
-    var cur = entities.localCheckpoint()
+    var (cur, curIds) = graft.runtime.Checkpoints.tracked(entities)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -81,15 +81,17 @@ object NastyLinker {
       // (cand derives from cur; checkpointing preserves attribute ids)
       def fresh(df: DataFrame): DataFrame =
         df.select(df.columns.map(c => col(c).as(c)): _*)
-      val merged = fresh(cur).unionByName(fresh(cand))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-        .localCheckpoint()
+      val (merged, mergedIds) = graft.runtime.Checkpoints.tracked(
+        fresh(cur).unionByName(fresh(cand))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn"))
       // one-action convergence: symmetric difference of two keyed sets
       converged = fresh(merged).unionByName(fresh(cur))
         .groupBy("node", "ent", "score").agg(count(lit(1)).as("c"))
         .filter(col("c") === 1).isEmpty
-      cur = merged
+      // free the superseded round (same discipline as ConnectedComponents)
+      graft.runtime.Checkpoints.free(cur, curIds)
+      cur = merged; curIds = mergedIds
       iter += 1
     }
     // Truncation must be OBSERVABLE (round-2 ADVICE): weight-1.0 edges do

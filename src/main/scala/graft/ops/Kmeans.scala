@@ -47,9 +47,9 @@ object Kmeans {
   def seedFarthestFirst(vectors: DataFrame, k: Int): DataFrame = {
     val v = vectors.select(col("vec_id"), l2normalize(col("emb")).as("emb"))
       .localCheckpoint()
-    var chosen = v.orderBy("vec_id").limit(1)
-      .select(lit(0L).as("cent_id"), col("emb").as("ce"))
-      .localCheckpoint()
+    var (chosen, chosenIds) = graft.runtime.Checkpoints.tracked(
+      v.orderBy("vec_id").limit(1)
+        .select(lit(0L).as("cent_id"), col("emb").as("ce")))
     var i = 1
     while (i < k) {
       val far = v.join(broadcast(chosen))
@@ -60,7 +60,10 @@ object Kmeans {
         .select(lit(i.toLong).as("cent_id"), col("emb").as("ce"))
       def fresh(df: DataFrame): DataFrame =
         df.select(df.columns.map(c => col(c).as(c)): _*)
-      chosen = fresh(chosen).unionByName(fresh(far)).localCheckpoint()
+      val (next, nextIds) = graft.runtime.Checkpoints.tracked(
+        fresh(chosen).unionByName(fresh(far)))
+      graft.runtime.Checkpoints.free(chosen, chosenIds)
+      chosen = next; chosenIds = nextIds
       i += 1
     }
     chosen
@@ -72,19 +75,20 @@ object Kmeans {
             iters: Int = 5): (DataFrame, Seq[Double]) = {
     val v = vectors.select(col("vec_id"), l2normalize(col("emb")).as("emb"))
       .localCheckpoint()
-    var cents = init
-      .select(col("cent_id"), l2normalize(col("ce")).as("ce"))
-      .localCheckpoint()
+    var (cents, centIds) = graft.runtime.Checkpoints.tracked(
+      init.select(col("cent_id"), l2normalize(col("ce")).as("ce")))
     val objective = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 0 until iters) {
       val w = Window.partitionBy("vec_id")
         .orderBy(col("sim").desc, col("cent_id").asc)
-      val assigned = v.join(broadcast(cents))
-        .withColumn("sim", dot(col("emb"), col("ce")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("emb"), col("cent_id").as("cell"),
-                col("sim"))
-        .localCheckpoint()
+      // the assigned frame is CORPUS-sized — tracked so each round's copy
+      // is freed before the next (Checkpoints doc: the 8 GiB soak lesson)
+      val (assigned, assignedIds) = graft.runtime.Checkpoints.tracked(
+        v.join(broadcast(cents))
+          .withColumn("sim", dot(col("emb"), col("ce")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("emb"), col("cent_id").as("cell"),
+                  col("sim")))
       objective += assigned.agg(sum("sim")).head().getDouble(0)
       // element-wise mean per cell; empty cells keep the old centroid
       val means = assigned
@@ -95,9 +99,13 @@ object Kmeans {
         .select(col("cell").as("cent_id"),
                 l2normalize(transform(col("pm"), e => e.getField("m")))
                   .as("new_ce"))
-      cents = cents.join(means, Seq("cent_id"), "left_outer")
-        .select(col("cent_id"), coalesce(col("new_ce"), col("ce")).as("ce"))
-        .localCheckpoint()
+      val (nextCents, nextCentIds) = graft.runtime.Checkpoints.tracked(
+        cents.join(means, Seq("cent_id"), "left_outer")
+          .select(col("cent_id"),
+                  coalesce(col("new_ce"), col("ce")).as("ce")))
+      graft.runtime.Checkpoints.free(assigned, assignedIds)
+      graft.runtime.Checkpoints.free(cents, centIds)
+      cents = nextCents; centIds = nextCentIds
     }
     (cents, objective.toSeq)
   }

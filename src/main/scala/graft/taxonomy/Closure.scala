@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
 object Closure {
 
   def transitiveClosure(edges: DataFrame): DataFrame = {
+    import graft.runtime.Checkpoints
     val e = edges.select(col("node"), col("anc")).distinct().localCheckpoint()
     var closure = e
+    var closureIds = Set.empty[Int] // the seed checkpoint stays live (== e)
     var frontier = e
+    var frontierIds = Set.empty[Int]
     var done = false
     var rounds = 0
     while (!done && rounds < 64) {
@@ -32,12 +35,18 @@ object Closure {
         .join(e.alias("e"), col("f.anc") === col("e.node"))
         .select(col("f.node").as("node"), col("e.anc").as("anc"))
         .distinct()
-      val fresh = next.join(closure, Seq("node", "anc"), "left_anti")
-        .localCheckpoint()
-      if (fresh.isEmpty) done = true
+      val (fresh, freshIds) =
+        Checkpoints.tracked(next.join(closure, Seq("node", "anc"), "left_anti"))
+      if (fresh.isEmpty) { Checkpoints.free(fresh, freshIds); done = true }
       else {
-        closure = closure.unionByName(fresh).localCheckpoint()
-        frontier = fresh
+        val (nextClosure, nextClosureIds) =
+          Checkpoints.tracked(closure.unionByName(fresh))
+        // superseded generations: the old closure copy and the frontier
+        // BEFORE last (fresh itself stays live as the new frontier)
+        Checkpoints.free(closure, closureIds)
+        Checkpoints.free(frontier, frontierIds)
+        closure = nextClosure; closureIds = nextClosureIds
+        frontier = fresh; frontierIds = freshIds
       }
       rounds += 1
     }
