@@ -151,8 +151,12 @@ object Pipeline {
     val seedTypes = seeds.entityTypes.select(col("ent"), col("tpe"))
     val closureSelf = Disjointness.closureWithSelf(seeds.taxonomyEdges)
 
+    // type rules get their own stage: downstream they feed BOTH the typed
+    // assertions and the ontology-class provenance
+    val listingTypes = runner.run("type_rules") {
+      RuleMining.listingTypeRules(subjects, seedTypes)
+    }
     val types = runner.run("types") {
-      val listingTypes = RuleMining.listingTypeRules(subjects, seedTypes)
       val cand = subjects.select("url", "listing_key", "ent").distinct()
         .join(listingTypes, Seq("url", "listing_key"))
         .select("ent", "tpe").distinct()
@@ -177,14 +181,22 @@ object Pipeline {
               Seq("ent", "pred", "obj"), "left_anti") // J7: only NEW relations
     }
 
-    // 7. triples, partitioned by predicate (provenance: every subject
-    // entity wasDerivedFrom the pages mentioning it — serialize.py:231-239)
+    // 7. triples, partitioned by predicate. Provenance (both reference
+    // flavors): INSTANCE — every subject entity wasDerivedFrom the pages
+    // mentioning it (serialize.py:231-239); ONTOLOGY-CLASS — every mined
+    // type wasDerivedFrom the listings whose rule asserted it
+    // (serialize.py:158-164, classes ← their associated source pages).
     runner.runPartitioned("triples", "pred") {
+      def fresh2(df: DataFrame): DataFrame =
+        df.select(df.columns.map(c => col(c).as(c)): _*)
+      val provenance = fresh2(subjects.select("ent", "url").distinct())
+        .unionByName(fresh2(listingTypes
+          .select(col("tpe").as("ent"), col("url")).distinct()))
       TripleEmit.assemble(
         labels = subjects.select("ent", "label"),
         types = types,
         rels = relations,
-        provenance = subjects.select("ent", "url").distinct())
+        provenance = provenance)
     }
   }
 }

@@ -337,6 +337,15 @@ object CorpusGen {
       val spansUrl = "https://example.org/span-tables"
       Seq("Span Keep A", "Span Keep B", "Span Keep C").foreach(m =>
         out += Triple(newEnt(m), Preds.WasDerivedFrom, spansUrl, false))
+      // ONTOLOGY-CLASS provenance (serialize.py:158-164): each mined type
+      // rule derives its class from the listing's page. The (t, k) type
+      // rule fires on both listing kinds (6 of 7 linked subjects share t);
+      // the ada listing mines Scientist (2/2); mixed (1/4 share) and spans
+      // (no linked subjects) mine nothing.
+      for (t <- leafTypes; k <- 0 until nCountries;
+           kind <- Seq("list", "table"))
+        out += Triple(t, Preds.WasDerivedFrom, listUrl(kind, t, k), false)
+      out += Triple("Scientist", Preds.WasDerivedFrom, adaUrl, false)
       out.toSeq
     }
 
