@@ -51,7 +51,12 @@ object Pipeline {
       * keys), so ids match [[Components]] and stay partition-invariant. */
     case class ScoredEd(meThreshold: Double = 0.5, mmThreshold: Double = 0.5,
                         pathThreshold: Double = 0.75,
-                        meScore: Column = col("freq")) extends Canonicalization
+                        meScore: Column = col("freq"),
+                        /** When set, overrides `meScore` with the
+                          * whole-DataFrame scorer seam — the batched-model
+                          * path ([[graft.link.BatchedScorer]]). */
+                        scoreFn: Option[DataFrame => DataFrame] = None)
+        extends Canonicalization
   }
 
   /** NIL labels more frequent than this with no known entity are boilerplate
@@ -124,7 +129,7 @@ object Pipeline {
                 .select("url", "listing_key", "mention_id", "label", "ent")
                 .withColumn("is_new", lit(true)))
         }
-      case Canonicalization.ScoredEd(meT, mmT, pathT, meScore) =>
+      case Canonicalization.ScoredEd(meT, mmT, pathT, meScore, scoreFn) =>
         // 4b. scored ED over ALL kept mentions: alignment graph (full
         // candidate dictionary, not the argmax-reduced one) → NastyLinker.
         // ONE corpus-side pass builds the graph; the split decides linked
@@ -133,9 +138,10 @@ object Pipeline {
           val keptAll = fresh(linked)
             .unionByName(fresh(keptUnlinked)
               .withColumn("ent", lit(null).cast("string")))
-          val assign = AlignmentGraph.disambiguate(
+          val assign = AlignmentGraph.disambiguateScored(
             keptAll.select("mention_id", "label"), dict,
-            meT, mmT, pathT, meScore)
+            scoreFn.getOrElse(cand => cand.withColumn("score", meScore)),
+            meT, mmT, pathT)
           keptAll.drop("ent")
             .join(assign.select(col("mention_id"),
                                 col("ent").as("ed_ent")), "mention_id")

@@ -56,6 +56,7 @@ object SparkEntry {
     "ann_bruteforce_topk"     -> (Ann.bruteForceTopK _),
     "ann_ivf_topk"            -> (Ann.ivfTopK _),
     "ann_ivf_multiprobe"      -> (Ann.ivfMultiProbe _),
+    "ann_ivf_trained"         -> (Ann.ivfTrainedTopK _),
     "ann_lsh_cosine"          -> (Ann.lshCosine _),
     "text_lang_id"            -> (TextOps.langId _),
     "text_quality_score"      -> (TextOps.qualityScore _),
@@ -219,6 +220,7 @@ object SparkEntry {
     "ann_bruteforce_topk"    -> Ann.bruteForceTopKSql,
     "ann_ivf_topk"           -> Ann.ivfTopKSql,
     "ann_ivf_multiprobe"     -> Ann.ivfMultiProbeSql,
+    "ann_ivf_trained"        -> Ann.ivfTrainedTopKSql,
     "ann_lsh_cosine"         -> Ann.lshCosineSql,
     "text_lang_id"           -> TextOps.langIdSql,
     "text_quality_score"     -> TextOps.qualityScoreSql,

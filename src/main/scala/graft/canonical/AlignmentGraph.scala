@@ -35,7 +35,21 @@ object AlignmentGraph {
     * `meScore`: any Column over the joined (mention × candidate) row. */
   def build(mentions: DataFrame, dict: DataFrame,
             meThreshold: Double = 0.5, mmThreshold: Double = 0.5,
-            meScore: Column = col("freq")): DataFrame = {
+            meScore: Column = col("freq")): DataFrame =
+    buildScored(mentions, dict, cand => cand.withColumn("score", meScore),
+                meThreshold, mmThreshold)
+
+  /** Whole-DataFrame scorer seam (the M2 batched-model path): `scoreFn`
+    * receives the ME candidate join (mention_id, label, key + the dict
+    * columns) and must append a double `score` column. A Column-expression
+    * scorer stays codegen'd (that's what [[build]] passes); a batched
+    * model scorer routes the same frame through
+    * [[graft.link.BatchedScorer.modelScoreFn]] — the clamp, null-as-zero,
+    * and strict-> threshold semantics below apply identically to both. */
+  def buildScored(mentions: DataFrame, dict: DataFrame,
+                  scoreFn: DataFrame => DataFrame,
+                  meThreshold: Double = 0.5,
+                  mmThreshold: Double = 0.5): DataFrame = {
     val keyed = mentions
       .select(col("mention_id"), col("label"))
       .withColumn("key", Normalize.aliasKey(col("label")))
@@ -46,8 +60,8 @@ object AlignmentGraph {
     // — ME edges: scored candidates above the threshold (strict >, :31).
     // NULL scores (partial scorer without .otherwise, null dict prior)
     // mean "no evidence" = 0, NOT max weight: least() skips nulls. —
-    val me = keyed.join(broadcast(dict), Seq("key"))
-      .withColumn("score", least(coalesce(meScore, lit(0.0)), lit(1.0)))
+    val me = scoreFn(keyed.join(broadcast(dict), Seq("key")))
+      .withColumn("score", least(coalesce(col("score"), lit(0.0)), lit(1.0)))
       .filter(col("score") > meThreshold)
       .select(concat(lit("m:"), col("mention_id")).as("src"),
               concat(lit("e:"), col("ent")).as("dst"),
@@ -74,11 +88,23 @@ object AlignmentGraph {
   def disambiguate(mentions: DataFrame, dict: DataFrame,
                    meThreshold: Double = 0.5, mmThreshold: Double = 0.5,
                    pathThreshold: Double = 0.75,
-                   meScore: Column = col("freq")): DataFrame = {
+                   meScore: Column = col("freq")): DataFrame =
+    disambiguateScored(mentions, dict,
+                       cand => cand.withColumn("score", meScore),
+                       meThreshold, mmThreshold, pathThreshold)
+
+  /** [[disambiguate]] with the whole-DataFrame scorer seam of
+    * [[buildScored]] — the entry point for a batched model scorer. */
+  def disambiguateScored(mentions: DataFrame, dict: DataFrame,
+                         scoreFn: DataFrame => DataFrame,
+                         meThreshold: Double = 0.5,
+                         mmThreshold: Double = 0.5,
+                         pathThreshold: Double = 0.75): DataFrame = {
     // checkpoint: NastyLinker scans the edge set repeatedly (bidir groupBy,
     // CC, NIL subgraph) — without this the broadcast join + window + MM
     // self-join lineage would re-execute on every scan
-    val edges = build(mentions, dict, meThreshold, mmThreshold, meScore)
+    val edges = buildScored(mentions, dict, scoreFn, meThreshold,
+                            mmThreshold)
       .localCheckpoint()
     val clustered = NastyLinker.cluster(edges, pathThreshold)
     // mentions with NO candidate edge at all never reach the graph: they

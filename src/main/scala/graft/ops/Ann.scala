@@ -133,6 +133,47 @@ object Ann {
     ivfTopK(e, fixtureCentroids(e), nProbe = 2)
   }
 
+  /** TRAINED-centroid IVF wired end-to-end into the driver contract:
+    * [[Kmeans.seedFarthestFirst]] → [[Kmeans.train]] on a deterministic
+    * sample (vec_id < 64 — the at-scale discipline: Lloyd rounds touch a
+    * small sample, never the corpus), then [[ivfTopK]] probing ALL k
+    * cells. Full probe makes IVF EXACT — every index cell is a candidate
+    * cell for every query, and the ranking cosine uses the original
+    * vectors — so the DuckDB oracle is plain brute-force top-3,
+    * INDEPENDENT of the trained centroid values. What the oracle pins:
+    * the trainer runs, its output slots into the operator, and the
+    * assignment/probe/dedup plumbing loses no candidate. Recall at
+    * nProbe < k — where training quality matters — is property-tested in
+    * KmeansSpec (boundary-pair recovery, cluster separation). */
+  def ivfTrainedTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val k = 8
+    val sample = e.filter(col("vec_id") < 64)
+    val (cents, _) =
+      Kmeans.train(sample, Kmeans.seedFarthestFirst(sample, k), iters = 3)
+    ivfTopK(e, cents, nProbe = k)
+  }
+
+  /** Brute force over queries [8,13): full-probe IVF is exact, so the
+    * trained centroids cancel out of the oracle. */
+  val ivfTrainedTopKSql: String =
+    """WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+       q AS (SELECT vec_id AS query_id, emb AS qe FROM e
+             WHERE vec_id >= 8 AND vec_id < 13),
+       sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+          list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*emb[i]))
+          / (sqrt(list_sum(list_transform(range(1, len(qe)+1), i -> qe[i]*qe[i])))
+           * sqrt(list_sum(list_transform(range(1, len(emb)+1), i -> emb[i]*emb[i]))))
+          AS cos
+          FROM q JOIN e ON e.vec_id <> q.query_id),
+       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM sc)
+       SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cos
+       FROM r WHERE rnk <= 3"""
+
   /** Random-hyperplane LSH (SimHash-for-cosine) candidate retrieval — the
     * scale path when even IVF's centroid scan is too much: `NumPlanes`
     * deterministic pseudo-random hyperplanes (integer-arithmetic

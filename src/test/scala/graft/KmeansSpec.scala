@@ -68,6 +68,35 @@ class KmeansSpec extends SparkSuite {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 3L))
   }
 
+  test("full-probe trained IVF is exact: equals brute-force top-k") {
+    // the invariant ann_ivf_trained's oracle rests on: probing all k cells
+    // makes the candidate set complete, so ranking ≡ brute force no matter
+    // what the trainer returned
+    val v = clustered()
+    val k = 3
+    val (cents, _) = Kmeans.train(v, Kmeans.seedFarthestFirst(v, k), 2)
+    // queries are vec_id in [8,13) per the ivfTopK contract
+    val ivf = Ann.ivfTopK(v, cents, nProbe = k)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = {
+      val rows = v.as[(Long, Seq[Double])].collect()
+      def cos(a: Seq[Double], b: Seq[Double]) = {
+        def d(x: Seq[Double], y: Seq[Double]) =
+          x.zip(y).map { case (p, q) => p * q }.sum
+        d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+      }
+      rows.filter(r => r._1 >= 8 && r._1 < 13).flatMap { case (qid, qe) =>
+        rows.filter(_._1 != qid)
+          .map { case (nid, ne) => (nid, cos(qe, ne)) }
+          .sortBy { case (nid, c) => (-c, nid) }
+          .take(3).zipWithIndex
+          .map { case ((nid, _), i) => (qid, nid, i + 1) }
+      }.toSet
+    }
+    assert(ivf == brute)
+  }
+
   test("nProbe=2 recovers a planted boundary pair that nProbe=1 misses") {
     // two orthogonal cells; the near-identical pair straddles the boundary,
     // one side each — top-1 assignment splits it, probing 2 cells does not

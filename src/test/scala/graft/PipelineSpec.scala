@@ -80,6 +80,19 @@ class PipelineSpec extends SparkSuite {
     assert(pr.precision == 1.0 && pr.recall == 1.0, s"split drift: $pr")
   }
 
+  test("ScoredEd scoreFn seam reproduces expected triples (batched path)") {
+    // the whole-DataFrame scorer override (the batched-model seam): the
+    // prior expressed as a scoreFn must reproduce the default run exactly —
+    // proving the Pipeline wiring, not just the AlignmentGraph-level
+    // equivalence BatchedScorerSpec pins
+    val outDir = SparkSuite.tempDir("graft-ed-scorefn")
+    val triples = Pipeline.run(spark, world.pages.toDS().toDF(), seeds,
+      outDir, canon = Pipeline.Canonicalization.ScoredEd(
+        scoreFn = Some(cand => cand.withColumn("score", col("freq")))))
+    val pr = TripleDiff.diff(triples, world.expectedTriples.toDS().toDF())
+    assert(pr.precision == 1.0 && pr.recall == 1.0, s"scoreFn seam: $pr")
+  }
+
   test("scored ED output is invariant to input partitioning") {
     val pagesDf = world.pages.toDS().toDF()
     def go(parts: Int, tag: String) =
