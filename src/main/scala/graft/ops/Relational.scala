@@ -244,4 +244,57 @@ object Relational {
       .distinct()
     graft.canonical.ConnectedComponents.run(edges)
   }
+
+  /** A17 at corpus scale: distributed clustering evaluation
+    * ([[graft.emit.ClusterMetrics.evaluateDf]] — purity/NMI/ARI + B³ from
+    * ONE contingency-table shuffle) scoring a synthetic system clustering
+    * (vec_id mod 8) against the embeddings table's labels as gold. The
+    * driver-side [[graft.emit.ClusterMetrics.evaluate]] twin is asserted
+    * equal in ClusterMetricsSpec; this row pins the distributed algebra
+    * against DuckDB. */
+  def clusteringEval(s: SparkSession, d: String): DataFrame =
+    graft.emit.ClusterMetrics.evaluateDf(
+      Tables.embeddings(s, d).select(
+        pmod(col("vec_id"), lit(8)).cast("string").as("pred"),
+        col("label").as("gold")))
+
+  val clusteringEvalSql: String =
+    """WITH a AS (SELECT CAST(vec_id % 8 AS VARCHAR) AS pred, label AS gold
+                  FROM embeddings),
+       joint AS (SELECT pred, gold, CAST(count(*) AS DOUBLE) AS n_sg
+                 FROM a GROUP BY 1, 2),
+       preds AS (SELECT pred, sum(n_sg) AS n_s, max(n_sg) AS max_sg
+                 FROM joint GROUP BY 1),
+       golds AS (SELECT gold, sum(n_sg) AS n_g FROM joint GROUP BY 1),
+       tot AS (SELECT sum(n_sg) AS n FROM joint),
+       jr AS (SELECT
+           sum(n_sg / n * ln(n_sg * n / (n_s * n_g))) AS mi,
+           sum(n_sg * n_sg / n_s / n) AS bcubed_p,
+           sum(n_sg * n_sg / n_g / n) AS bcubed_r,
+           sum(n_sg * (n_sg - 1) / 2.0) AS sum_ij
+         FROM joint JOIN preds USING (pred) JOIN golds USING (gold), tot),
+       pr AS (SELECT sum(max_sg) / max(n) AS purity,
+           sum(-(n_s / n) * ln(n_s / n)) AS h_p,
+           sum(n_s * (n_s - 1) / 2.0) AS sum_a
+         FROM preds, tot),
+       gr AS (SELECT sum(-(n_g / n) * ln(n_g / n)) AS h_g,
+           sum(n_g * (n_g - 1) / 2.0) AS sum_b
+         FROM golds, tot)
+       SELECT CAST(n AS BIGINT) AS n_items,
+         round(purity, 6) AS purity,
+         round(CASE WHEN h_p = 0 AND h_g = 0 THEN 1.0
+                    WHEN h_p = 0 OR h_g = 0 THEN 0.0
+                    ELSE 2.0 * mi / (h_p + h_g) END, 6) AS nmi,
+         round(CASE WHEN n * (n - 1) / 2.0 = 0 THEN 1.0
+                    WHEN (sum_a + sum_b) / 2.0
+                         = sum_a * sum_b / (n * (n - 1) / 2.0) THEN 1.0
+                    ELSE (sum_ij - sum_a * sum_b / (n * (n - 1) / 2.0))
+                         / ((sum_a + sum_b) / 2.0
+                            - sum_a * sum_b / (n * (n - 1) / 2.0)) END, 6)
+           AS ari,
+         round(bcubed_p, 6) AS bcubed_p,
+         round(bcubed_r, 6) AS bcubed_r,
+         round(2.0 * bcubed_p * bcubed_r / (bcubed_p + bcubed_r), 6)
+           AS bcubed_f
+       FROM jr, pr, gr, tot"""
 }

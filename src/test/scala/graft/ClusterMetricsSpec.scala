@@ -28,6 +28,49 @@ class ClusterMetricsSpec extends SparkSuite {
     assert(s.ari == 0.0)  // expected == observed under independence
   }
 
+  test("distributed evaluateDf ≡ driver-side evaluate (+ B³ hand check)") {
+    import spark.implicits._
+    // a deliberately lumpy assignment: 40 items, 5 pred × 3 gold clusters
+    val assign = (0 until 40).map(i =>
+      (s"m$i", s"p${(i * 7) % 5}", s"g${(i * i) % 3}"))
+    val seqScores = ClusterMetrics.evaluate(assign)
+    val df = assign.toDF("item", "pred", "gold")
+    val row = ClusterMetrics.evaluateDf(df.select("pred", "gold")).head()
+    assert(row.getLong(0) == 40)
+    assert(math.abs(row.getDouble(1) - seqScores.purity) < 1e-6)
+    assert(math.abs(row.getDouble(2) - seqScores.nmi) < 1e-6)
+    assert(math.abs(row.getDouble(3) - seqScores.ari) < 1e-6)
+    // B³ naive twin: per-item |C∩G|/|C| and /|G|
+    val joint = assign.groupBy(a => (a._2, a._3)).view.mapValues(_.size)
+    val pred = assign.groupBy(_._2).view.mapValues(_.size)
+    val gold = assign.groupBy(_._3).view.mapValues(_.size)
+    val bp = assign.map(a => joint((a._2, a._3)).toDouble / pred(a._2))
+      .sum / assign.size
+    val br = assign.map(a => joint((a._2, a._3)).toDouble / gold(a._3))
+      .sum / assign.size
+    assert(math.abs(row.getDouble(4) - bp) < 1e-6)
+    assert(math.abs(row.getDouble(5) - br) < 1e-6)
+    assert(math.abs(row.getDouble(6) - 2 * bp * br / (bp + br)) < 1e-6)
+    // partitioning invariance of the distributed path
+    val row16 = ClusterMetrics.evaluateDf(
+      df.repartition(16).select("pred", "gold")).head()
+    assert(row.toSeq == row16.toSeq)
+  }
+
+  test("evaluateDf degenerate guards: perfect and single-cluster") {
+    import spark.implicits._
+    val perfect = Seq(("p0", "g0"), ("p0", "g0"), ("p1", "g1"))
+      .toDF("pred", "gold")
+    val r = ClusterMetrics.evaluateDf(perfect).head()
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0 &&
+           r.getDouble(3) == 1.0 && r.getDouble(6) == 1.0)
+    // H(pred)=0 → NMI 0 (the when-guard, not 0/0)
+    val onePred = Seq(("p0", "g0"), ("p0", "g0"), ("p0", "g1"), ("p0", "g1"))
+      .toDF("pred", "gold")
+    val r2 = ClusterMetrics.evaluateDf(onePred).head()
+    assert(r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0)
+  }
+
   test("hand-computed ARI on a mixed case") {
     // pred {a,b},{c,d,e}; gold {a,b,c},{d,e}
     val assign = Seq(
