@@ -69,8 +69,14 @@ object ClusterMetrics {
     * item). Output: one row — n_items, purity, nmi, ari, bcubed_p/r/f,
     * rounded to 6 (the driver-oracle comparison contract). */
   def evaluateDf(assign: DataFrame): DataFrame = {
+    // localCheckpoint: four branches (joint/pred/gold/total aggregates)
+    // consume the contingency table — without it each branch re-plans the
+    // corpus-scale shuffle (the round-3 PlanAudit caught 3 parquet scans);
+    // with it the corpus is read and shuffled exactly ONCE and every
+    // downstream frame derives from the contingency-sized checkpoint
     val joint = assign.groupBy(col("pred"), col("gold"))
       .agg(count(lit(1)).cast("double").as("n_sg"))
+      .localCheckpoint()
     val predS = joint.groupBy("pred")
       .agg(sum("n_sg").as("n_s"), max("n_sg").as("max_sg"))
     val goldS = joint.groupBy("gold").agg(sum("n_sg").as("n_g"))
