@@ -193,10 +193,8 @@ object Pipeline {
     // type wasDerivedFrom the listings whose rule asserted it
     // (serialize.py:158-164, classes ← their associated source pages).
     runner.runPartitioned("triples", "pred") {
-      def fresh2(df: DataFrame): DataFrame =
-        df.select(df.columns.map(c => col(c).as(c)): _*)
-      val provenance = fresh2(subjects.select("ent", "url").distinct())
-        .unionByName(fresh2(listingTypes
+      val provenance = fresh(subjects.select("ent", "url").distinct())
+        .unionByName(fresh(listingTypes
           .select(col("tpe").as("ent"), col("url")).distinct()))
       TripleEmit.assemble(
         labels = subjects.select("ent", "label"),
