@@ -51,12 +51,23 @@ object Pipeline {
       * keys), so ids match [[Components]] and stay partition-invariant. */
     case class ScoredEd(meThreshold: Double = 0.5, mmThreshold: Double = 0.5,
                         pathThreshold: Double = 0.75,
-                        meScore: Column = col("freq"),
-                        /** When set, overrides `meScore` with the
+                        meScore: Column = DefaultMeScore,
+                        /** When set, replaces `meScore` with the
                           * whole-DataFrame scorer seam — the batched-model
                           * path ([[graft.link.BatchedScorer]]). */
                         scoreFn: Option[DataFrame => DataFrame] = None)
-        extends Canonicalization
+        extends Canonicalization {
+      // the two scorer knobs are alternatives: passing both would silently
+      // drop the Column — fail at construction instead (reference equality
+      // on the shared default detects "caller did not pass meScore")
+      require(scoreFn.isEmpty || (meScore eq DefaultMeScore),
+              "ScoredEd: pass EITHER meScore or scoreFn, not both " +
+              "(scoreFn replaces the Column scorer)")
+    }
+
+    /** The prior scorer (alias-dictionary frequency) — `ScoredEd`'s
+      * default `meScore`. */
+    val DefaultMeScore: Column = col("freq")
   }
 
   /** NIL labels more frequent than this with no known entity are boilerplate

@@ -77,13 +77,24 @@ object ClusterMetrics {
     val joint = assign.groupBy(col("pred"), col("gold"))
       .agg(count(lit(1)).cast("double").as("n_sg"))
       .localCheckpoint()
+    // checkpoint is eager, so the emptiness probe is contingency-priced;
+    // mirror the driver twin's contract instead of emitting an all-null row
+    require(!joint.isEmpty, "empty assignment")
     val predS = joint.groupBy("pred")
       .agg(sum("n_sg").as("n_s"), max("n_sg").as("max_sg"))
     val goldS = joint.groupBy("gold").agg(sum("n_sg").as("n_g"))
     val total = joint.agg(sum("n_sg").as("n"))
 
-    val jointRow = joint.join(predS.select("pred", "n_s"), "pred")
-      .join(goldS, "gold").crossJoin(total)
+    // null-safe joins (<=>): a NULL pred/gold is an ordinary cluster key
+    // (unlabeled items), exactly as the Seq-based groupBy treats it — an
+    // equi-join would silently drop those contingency cells from mi/B³
+    // while n and the entropies kept them
+    val jointRow = joint
+      .join(predS.select(col("pred").as("p2"), col("n_s")),
+            col("pred") <=> col("p2")).drop("p2")
+      .join(goldS.select(col("gold").as("g2"), col("n_g")),
+            col("gold") <=> col("g2")).drop("g2")
+      .crossJoin(total)
       .agg(
         sum(col("n_sg") / col("n") *
             log(col("n_sg") * col("n") / (col("n_s") * col("n_g"))))

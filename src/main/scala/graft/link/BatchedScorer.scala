@@ -72,7 +72,10 @@ object BatchedScorer {
   // equivalence is assertable exactly (BatchedScorerSpec).
 
   private def tokenSet(s: String): Set[String] =
-    s.toLowerCase.split("[^a-z0-9]+").iterator.filter(_.nonEmpty).toSet
+    // Locale.ROOT: executor default locale must not change tokenization
+    // (tr-TR dotless-ı would break the Column-twin bit-equivalence)
+    s.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").iterator.filter(_.nonEmpty).toSet
 
   /** Batch model: label↔entity token Jaccard (0.0 when both are empty —
     * matching the Column twin's when-guard). */

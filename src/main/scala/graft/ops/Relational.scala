@@ -272,7 +272,9 @@ object Relational {
            sum(n_sg * n_sg / n_s / n) AS bcubed_p,
            sum(n_sg * n_sg / n_g / n) AS bcubed_r,
            sum(n_sg * (n_sg - 1) / 2.0) AS sum_ij
-         FROM joint JOIN preds USING (pred) JOIN golds USING (gold), tot),
+         FROM joint
+           JOIN preds ON joint.pred IS NOT DISTINCT FROM preds.pred
+           JOIN golds ON joint.gold IS NOT DISTINCT FROM golds.gold, tot),
        pr AS (SELECT sum(max_sg) / max(n) AS purity,
            sum(-(n_s / n) * ln(n_s / n)) AS h_p,
            sum(n_s * (n_s - 1) / 2.0) AS sum_a

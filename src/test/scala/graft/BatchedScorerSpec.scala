@@ -81,6 +81,18 @@ class BatchedScorerSpec extends SparkSuite {
     assert(byMention("m4").isEmpty)
   }
 
+  test("ScoredEd rejects passing both scorer knobs") {
+    intercept[IllegalArgumentException] {
+      graft.Pipeline.Canonicalization.ScoredEd(
+        meScore = col("freq") * 2,
+        scoreFn = Some(identity[org.apache.spark.sql.DataFrame] _))
+    }
+    // either knob alone is fine
+    graft.Pipeline.Canonicalization.ScoredEd(meScore = col("freq") * 2)
+    graft.Pipeline.Canonicalization.ScoredEd(
+      scoreFn = Some(identity[org.apache.spark.sql.DataFrame] _))
+  }
+
   test("a misbehaving model (wrong batch cardinality) fails loudly") {
     val pairs = Seq(("m1", "a", "ent:a")).toDF("mention_id", "label", "ent")
     val bad: Seq[(String, String)] => Seq[Double] = _ => Seq.empty

@@ -71,6 +71,35 @@ class ClusterMetricsSpec extends SparkSuite {
     assert(r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0)
   }
 
+  test("evaluateDf: NULL keys are ordinary clusters; empty input fails") {
+    import spark.implicits._
+    // unlabeled items (null gold) must stay in the contingency mass —
+    // an equi-join would silently drop the (p0, null) cell from MI/B³
+    val withNull = Seq(("p0", Option("g0")), ("p0", None), ("p1", Option("g1")),
+                       ("p1", Option("g1")), ("p0", Option("g0")))
+    val seqScores = ClusterMetrics.evaluate(
+      withNull.zipWithIndex.map { case ((p, g), i) =>
+        (s"m$i", p, g.orNull) })
+    val row = ClusterMetrics.evaluateDf(
+      withNull.toDF("pred", "gold")).head()
+    assert(row.getLong(0) == 5)
+    assert(math.abs(row.getDouble(1) - seqScores.purity) < 1e-6)
+    assert(math.abs(row.getDouble(2) - seqScores.nmi) < 1e-6)
+    assert(math.abs(row.getDouble(3) - seqScores.ari) < 1e-6)
+    // B³ recall counts the null-gold item against its own 1-item class
+    val joint = withNull.groupBy(identity).view.mapValues(_.size)
+    val pred = withNull.groupBy(_._1).view.mapValues(_.size)
+    val gold = withNull.groupBy(_._2).view.mapValues(_.size)
+    val bp = withNull.map(a => joint(a).toDouble / pred(a._1)).sum / 5
+    val br = withNull.map(a => joint(a).toDouble / gold(a._2)).sum / 5
+    assert(math.abs(row.getDouble(4) - bp) < 1e-6)
+    assert(math.abs(row.getDouble(5) - br) < 1e-6)
+    intercept[IllegalArgumentException] {
+      ClusterMetrics.evaluateDf(
+        Seq.empty[(String, String)].toDF("pred", "gold"))
+    }
+  }
+
   test("hand-computed ARI on a mixed case") {
     // pred {a,b},{c,d,e}; gold {a,b,c},{d,e}
     val assign = Seq(
