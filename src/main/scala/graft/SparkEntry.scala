@@ -54,6 +54,8 @@ object SparkEntry {
     "dedup_simhash"           -> (Dedup.simhash _),
     "dedup_embedding_cosine"  -> (Dedup.embeddingCosine _),
     "dedup_embedding_ivf"     -> (Dedup.embeddingCosineIvf _),
+    "dedup_common_ngrams"     -> (Dedup.commonNgrams _),
+    "dedup_cluster_keep"      -> (Dedup.clusterKeep _),
     "ann_bruteforce_topk"     -> (Ann.bruteForceTopK _),
     "ann_ivf_topk"            -> (Ann.ivfTopK _),
     "ann_ivf_multiprobe"      -> (Ann.ivfMultiProbe _),
@@ -63,6 +65,7 @@ object SparkEntry {
     "text_quality_score"      -> (TextOps.qualityScore _),
     "text_token_count"        -> (TextOps.tokenCount _),
     "text_fingerprint"        -> (TextOps.fingerprint _),
+    "text_repetition"         -> (TextOps.repetition _),
     "mm_decode_meta" -> ((s, d) => graft.multimodal.MediaDecoder
       .decodeMetaColumns(graft.core.Tables.documents(s, d).select(
         org.apache.spark.sql.functions.col("doc_id"),
@@ -219,6 +222,8 @@ object SparkEntry {
     "dedup_simhash"          -> Dedup.simhashSql,
     "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
     "dedup_embedding_ivf"    -> Dedup.embeddingCosineIvfSql,
+    "dedup_common_ngrams"    -> Dedup.commonNgramsSql,
+    "dedup_cluster_keep"     -> Dedup.clusterKeepSql,
     "ann_bruteforce_topk"    -> Ann.bruteForceTopKSql,
     "ann_ivf_topk"           -> Ann.ivfTopKSql,
     "ann_ivf_multiprobe"     -> Ann.ivfMultiProbeSql,
@@ -228,6 +233,7 @@ object SparkEntry {
     "text_quality_score"     -> TextOps.qualityScoreSql,
     "text_token_count"       -> TextOps.tokenCountSql,
     "text_fingerprint"       -> TextOps.fingerprintSql,
+    "text_repetition"        -> TextOps.repetitionSql,
     "mm_decode_meta" ->
       """SELECT doc_id,
          CASE WHEN octet_length(encode(text))%3=0 THEN 'png'

@@ -116,23 +116,33 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
   }
 
-  private val verifySqlTail: String =
+  private val setsCteSql: String =
     """sets AS (SELECT doc_id, list(DISTINCT shingle) AS shs,
-                count(DISTINCT shingle) AS n FROM sh GROUP BY 1)
-       SELECT a, b, round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+                count(DISTINCT shingle) AS n FROM sh GROUP BY 1)"""
+
+  private val verifySelectSql: String =
+    """SELECT a, b, round(CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
          / (sa.n + sb.n - len(list_intersect(sa.shs, sb.shs))), 6) AS jac
        FROM cand JOIN sets sa ON cand.a=sa.doc_id
                  JOIN sets sb ON cand.b=sb.doc_id
        WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
          / (sa.n + sb.n - len(list_intersect(sa.shs, sb.shs))) >= 0.5"""
 
-  val ngramJaccardSql: String =
-    s"""WITH sh AS ($shinglesSql),
+  private val verifySqlTail: String =
+    s"$setsCteSql\n       $verifySelectSql"
+
+  /** The rare-shingle candidate CTEs shared by [[ngramJaccardSql]] and
+    * [[clusterKeepSql]]. */
+  private val rareCandCtesSql: String =
+    s"""sh AS ($shinglesSql),
         rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= $RareDf),
         shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                  FROM shr x JOIN shr y
-                   ON x.shingle=y.shingle AND x.doc_id<y.doc_id),
+                   ON x.shingle=y.shingle AND x.doc_id<y.doc_id)"""
+
+  val ngramJaccardSql: String =
+    s"""WITH $rareCandCtesSql,
         $verifySqlTail"""
 
   /** Deterministic shingle ids shared with the DuckDB oracle: the first 8
@@ -429,4 +439,70 @@ object Dedup {
           AS cos
           FROM e x JOIN e y ON x.label=y.label AND x.vec_id<y.vec_id)
        SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.35"""
+
+  /** A shingle present in >= CommonDf docs is corpus boilerplate, not
+    * document content (the cross-document counterpart of the within-doc
+    * repetition signals in [[TextOps.repetition]]). */
+  val CommonDf = 4
+
+  /** Corpus-level boilerplate share (the C4-style cross-document repeated-
+    * span signal): for each doc, the fraction of its distinct 3-gram
+    * shingles that occur in >= [[CommonDf]] documents corpus-wide. Two
+    * shuffles — one keyed by shingle (document frequency, map-side partial
+    * agg), one keyed by doc_id (the rollup) — both linear in corpus size;
+    * there is no self-join anywhere, so this is the cheap screen that runs
+    * BEFORE pair-generating dedup at 100 TB. */
+  def commonNgrams(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           count(when(col("df") >= CommonDf, 1)).as("n_common"))
+      .select(col("doc_id"), col("n_shingles"), col("n_common"),
+              round(col("n_common") / col("n_shingles").cast("double"), 6)
+                .as("common_frac"))
+  }
+
+  val commonNgramsSql: String =
+    s"""WITH sh AS ($shinglesSql),
+        df AS (SELECT shingle, count(*) AS c FROM sh GROUP BY 1),
+        j AS (SELECT s.doc_id, d.c FROM sh s JOIN df d USING (shingle))
+        SELECT doc_id, count(*) AS n_shingles,
+          count(*) FILTER (WHERE c >= $CommonDf) AS n_common,
+          round((count(*) FILTER (WHERE c >= $CommonDf))
+            / CAST(count(*) AS DOUBLE), 6) AS common_frac
+        FROM j GROUP BY 1"""
+
+  /** The END of the dedup story: near-dup PAIRS are not what a pipeline
+    * consumes — it needs, per document, the cluster it belongs to and
+    * whether it is the cluster's kept representative. Composition:
+    * verified pairs ([[ngramJaccard]], jac >= 0.5) → connected components
+    * ([[graft.canonical.ConnectedComponents]], O(log n) rounds) → keep the
+    * minimum doc_id per component (deterministic, partition-invariant).
+    * Only documents that appear in at least one near-dup pair are emitted;
+    * everything else is trivially kept and needs no shuffle. */
+  def clusterKeep(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select(col("a").as("src"),
+                                          col("b").as("dst"))
+    graft.canonical.ConnectedComponents.run(pairs)
+      .select(col("node").as("doc_id"), col("component").as("cluster"),
+              (col("node") === col("component")).as("is_kept"))
+  }
+
+  val clusterKeepSql: String =
+    // the ngramJaccard pair CTEs, then the same reachability closure as the
+    // g9 oracle: component id = min node id that reaches the node
+    s"""WITH RECURSIVE $rareCandCtesSql,
+        $setsCteSql,
+        pairs AS (SELECT a, b FROM ($verifySelectSql)),
+        ud AS (SELECT a AS src, b AS dst FROM pairs
+               UNION SELECT b, a FROM pairs),
+        reach(node, r) AS (
+          SELECT src, src FROM ud
+          UNION
+          SELECT ud.dst, reach.r FROM reach JOIN ud ON reach.node=ud.src)
+        SELECT node AS doc_id, min(r) AS cluster,
+          (node = min(r)) AS is_kept
+        FROM reach GROUP BY node"""
 }

@@ -106,4 +106,48 @@ object TextOps {
              t -> CAST(ascii(substring(t,1,1))*100 + length(t) AS BIGINT))),
          (acc, v) -> (acc*31 + v) % 1000000007) AS fingerprint
        FROM documents"""
+
+  /** Within-document repetition signals (the Gopher/MassiveText repetition
+    * family: fraction of the doc covered by its most frequent token, and
+    * the duplicated share of 2-gram / 3-gram occurrences) — the quality
+    * gate that kills looping boilerplate before it reaches training data.
+    * Pure per-row array expressions: zero shuffles, embarrassingly parallel
+    * at 100 TB. The per-token count scan is O(distinct·n) per row — bounded
+    * by doc length, never by corpus size. Docs with < 3 tokens carry no
+    * 3-gram signal and are skipped (same contract as [[Dedup.shingles]]). */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val n = size(toks).cast("double")
+    def grams(k: Int): Column =
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k))))
+    def dupFrac(g: Column): Column =
+      round((size(g) - size(array_distinct(g))) / size(g).cast("double"), 6)
+    val topTok = array_max(transform(array_distinct(toks),
+      x => size(filter(toks, y => y === x))))
+    Tables.documents(s, d)
+      .filter(size(toks) >= 3)
+      .select(
+        col("doc_id"),
+        round(topTok / n, 6).as("top_tok_frac"),
+        dupFrac(grams(2)).as("dup_2gram_frac"),
+        dupFrac(grams(3)).as("dup_3gram_frac"))
+  }
+
+  val repetitionSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+                  WHERE len(string_split(text,' ')) >= 3),
+       g AS (SELECT doc_id, t,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g2,
+         list_transform(range(1, len(t)-1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+         FROM d)
+       SELECT doc_id,
+         round(list_max(list_transform(list_distinct(t),
+             x -> len(list_filter(t, y -> y = x))))
+           / CAST(len(t) AS DOUBLE), 6) AS top_tok_frac,
+         round((len(g2) - len(list_distinct(g2)))
+           / CAST(len(g2) AS DOUBLE), 6) AS dup_2gram_frac,
+         round((len(g3) - len(list_distinct(g3)))
+           / CAST(len(g3) AS DOUBLE), 6) AS dup_3gram_frac
+       FROM g"""
 }

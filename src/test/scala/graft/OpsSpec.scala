@@ -102,6 +102,63 @@ class OpsSpec extends SparkSuite {
     assert(frames.toSeq == Seq((1L, 0), (1L, 2), (1L, 4)))
   }
 
+  test("repetition signals: hand-computed fixture") {
+    val dir = SparkSuite.tempDir("graft-repetition")
+    Seq(
+      (1L, "a a a a", "en", "s", 7L),     // 4 tokens, all 'a'
+      (2L, "a b c d", "en", "s", 7L),     // no repetition
+      (3L, "x y x y x y", "en", "s", 11L) // period-2 loop
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextOps.repetition(spark, dir)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    // doc 1: top 4/4; bigrams [aa,aa,aa] -> dup 2/3; trigrams [aaa,aaa] -> 1/2
+    // doc 2: top 1/4; no duplicate n-grams
+    // doc 3: top 3/6; bigrams [xy,yx,xy,yx,xy] -> dup 3/5;
+    //        trigrams [xyx,yxy,xyx,yxy] -> dup 2/4
+    assert(got.toSeq == Seq(
+      (1L, 1.0, 0.666667, 0.5),
+      (2L, 0.25, 0.0, 0.0),
+      (3L, 0.5, 0.6, 0.5)))
+  }
+
+  test("common-ngram boilerplate share: planted boilerplate is flagged") {
+    val dir = SparkSuite.tempDir("graft-common-ngrams")
+    // the shingle "one two three" appears in CommonDf docs (boilerplate);
+    // each doc also carries a unique tail shingle
+    val boiler = (1 to Dedup.CommonDf).map(i =>
+      (i.toLong, s"one two three tail$i x$i y$i", "en", "s", 0L))
+    val clean = Seq((99L, "only unique content here now", "en", "s", 0L))
+    (boiler ++ clean).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Dedup.commonNgrams(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // boilerplate docs: 6 tokens -> 4 distinct shingles, exactly 1 common
+    boiler.foreach { case (id, _, _, _, _) =>
+      assert(got.contains((id, 4L, 1L, 0.25)), s"doc $id: $got")
+    }
+    assert(got.contains((99L, 3L, 0L, 0.0)))
+  }
+
+  test("cluster-keep composes near-dup pairs into kept representatives") {
+    val pairs = Dedup.ngramJaccard(spark, sf)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val keep = Dedup.clusterKeep(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+    val cluster = keep.map(r => r._1 -> r._2).toMap
+    // exactly the documents that occur in a near-dup pair are clustered
+    assert(cluster.keySet == pairs.flatMap(p => Set(p._1, p._2)))
+    // both ends of every pair land in the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split")
+    }
+    // the representative is the cluster minimum, and is flagged kept
+    keep.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._1).min == c)
+      assert(rows.count(_._3) == 1 && rows.find(_._3).get._1 == c)
+    }
+  }
+
   test("streaming windowed counts == batch windowed counts") {
     val batch = Streams.windowedCounts(
       graft.core.Tables.events(spark, sf))
