@@ -51,7 +51,6 @@ object NastyLinker {
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst"),
                             col("weight")))
       .groupBy("src", "dst").agg(max("weight").as("weight"))
-      .localCheckpoint()
 
     val cc = ConnectedComponents.run(e.select("src", "dst"))
     val entComp = cc.filter(col("node").startsWith("e:"))
@@ -60,8 +59,20 @@ object NastyLinker {
     val mentions = cc.filter(col("node").startsWith("m:"))
       .select("node", "component")
 
+    // Propagation results are CONSUMED only inside multi-entity components
+    // (`attached` filters to them; the validity rule resolves everything
+    // else), so the propagation graph is restricted to those components
+    // up front — provably result-identical, and in the common corpus shape
+    // (almost every component single-entity) the loop then runs over a
+    // near-empty frontier instead of the whole alignment graph.
+    val multiComps = entComp.filter(col("n_ents") > 1).select("component")
+    val multiNodes = cc.join(multiComps, "component").select("node")
+    val bidirMulti = bidir
+      .join(multiNodes.select(col("node").as("src")), "src")
+      .localCheckpoint()
+
     // — max-product propagation from entity nodes (threshold-pruned) —
-    val entities = cc.filter(col("node").startsWith("e:"))
+    val entities = multiNodes.filter(col("node").startsWith("e:"))
       .select(col("node"), col("node").as("ent"), lit(1.0).as("score"))
     var (cur, curIds) = graft.runtime.Checkpoints.tracked(entities)
     var converged = false
@@ -70,8 +81,8 @@ object NastyLinker {
       val cand = cur
         .select(col("node").as("hop_src"), col("ent"),
                 col("score").as("hop_score"))
-        .join(bidir.select(col("src").as("hop_src"), col("dst"),
-                           col("weight")), "hop_src")
+        .join(bidirMulti.select(col("src").as("hop_src"), col("dst"),
+                                col("weight")), "hop_src")
         .select(col("dst").as("node"), col("ent"),
                 (col("hop_score") * col("weight")).as("score"))
         .filter(col("score") > pathThreshold) // prune: extensions only shrink
@@ -109,7 +120,6 @@ object NastyLinker {
     val single = mentions
       .join(entComp.filter(col("n_ents") === 1), "component")
       .select(col("node"), col("only_ent").as("ent"))
-    val multiComps = entComp.filter(col("n_ents") > 1).select("component")
     val mentionsMulti = mentions.join(multiComps, "component").select("node")
     val attached = cur
       .filter(col("node").startsWith("m:") && col("score") > pathThreshold)
