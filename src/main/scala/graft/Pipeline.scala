@@ -84,27 +84,24 @@ object Pipeline {
           canon: Canonicalization = Canonicalization.Components): DataFrame = {
     Normalize.register(spark)
     val runner = new StageRunner(spark, outDir, runId)
-    val sp = spark
-    import sp.implicits._
+
+    // 0. crawl manifest: the (url, warc_ts) fingerprint of the consumed
+    // crawl slice. A later [[runDelta]] anti-joins its new crawl against
+    // this to find changed/added pages — the capture timestamp is the
+    // change signal, so unchanged pages skip extraction entirely.
+    runner.run("crawl_manifest") {
+      pages.filter(col("lang") === "en").select("url", "warc_ts")
+    }
 
     // 1. invariant text extraction (byte-identical per url)
     val pagesText = runner.run("pages_text") { TextExtract.extract(pages) }
-
-    // 1b. corpus hypernym mining over page prose (A5/N9 — Hearst patterns)
-    runner.run("hypernyms") {
-      graft.mine.Hearst.corpusCounts(
-        pagesText.select("url", "text").as[(String, String)])
-    }
 
     // 2. listings → items → subject mentions
     val mentions = runner.run("mentions") { ListingExtract.mentions(pagesText) }
 
     // 3. entity linking (broadcast alias dict incl. folded spelling
     // redirects)
-    val aliasTable =
-      if (seeds.redirects == null) seeds.aliases
-      else AliasLink.foldRedirects(seeds.aliases, seeds.redirects)
-    val dict = AliasLink.buildDict(aliasTable)
+    val dict = buildDict(seeds)
     // ONE broadcast-join execution; linked/unlinked are filters over the
     // checkpointed join output (ent nullable), not two separate stages.
     // Stage name is "linked_all", NOT the pre-r3 "linked": the checkpoint
@@ -112,6 +109,89 @@ object Pipeline {
     // resumes by name — a stale "linked" checkpoint must never resume into
     // the new shape (it would silently empty the NIL path).
     val linkedAll = runner.run("linked_all") { AliasLink.linkAll(mentions, dict) }
+
+    corpusStages(spark, runner, pagesText, linkedAll, dict, seeds, canon)
+  }
+
+  /** Incremental run over a RE-CRAWL (the recurring-snapshot shape the
+    * reference handles by full re-extraction per dump): pages whose
+    * (url, warc_ts) capture already appears in `prevDir`'s crawl manifest
+    * carry their extracted text and linked mentions over from the previous
+    * run's checkpoints; only changed/added captures pass through the
+    * per-page prefix (extract → parse → link) — the cost that dominates at
+    * corpus scale. Pages absent from the new crawl drop out (deletions).
+    * Corpus-level stages (hypernyms, F9, canonicalization, mining, triples)
+    * recompute over the merged state — they are aggregation-bound and
+    * cheap relative to parsing, and their semantics are global.
+    *
+    * Assumes `seeds` are unchanged since the previous run (a dictionary
+    * change invalidates carried links; use [[run]] on a fresh outDir for
+    * that). Output is IDENTICAL to a full [[run]] over the new crawl:
+    * extraction/parsing/linking are deterministic per (url, text), which is
+    * exactly the per-row invariant the north rule pins. */
+  def runDelta(spark: SparkSession, newPages: DataFrame, seeds: Seeds,
+               outDir: String, prevDir: String, runId: String = "delta-1",
+               canon: Canonicalization = Canonicalization.Components): DataFrame = {
+    Normalize.register(spark)
+    val runner = new StageRunner(spark, outDir, runId)
+    val prevManifest = spark.read.parquet(s"$prevDir/crawl_manifest")
+    val prevText = spark.read.parquet(s"$prevDir/pages_text")
+    val prevLinked = spark.read.parquet(s"$prevDir/linked_all")
+
+    val manifest = runner.run("crawl_manifest") {
+      newPages.filter(col("lang") === "en").select("url", "warc_ts")
+    }
+    // unchanged = same capture in both crawls (and still present — carried
+    // rows semi-join the NEW manifest, so deletions drop out here)
+    val unchangedUrls = manifest
+      .join(prevManifest, Seq("url", "warc_ts"), "left_semi")
+      .select("url")
+
+    val pagesText = runner.run("pages_text") {
+      val changed = newPages.join(unchangedUrls, Seq("url"), "left_anti")
+      prevText.join(unchangedUrls, Seq("url"), "left_semi")
+        .unionByName(TextExtract.extract(changed))
+    }
+
+    // parse + link ONLY the changed slice; carried links rejoin afterwards
+    val freshText = pagesText.join(unchangedUrls, Seq("url"), "left_anti")
+    val mentions = runner.run("mentions") { ListingExtract.mentions(freshText) }
+    val dict = buildDict(seeds)
+    val linkedAll = runner.run("linked_all") {
+      prevLinked.join(unchangedUrls, Seq("url"), "left_semi")
+        .unionByName(AliasLink.linkAll(mentions, dict))
+    }
+
+    corpusStages(spark, runner, pagesText, linkedAll, dict, seeds, canon)
+  }
+
+  /** Alias dictionary incl. folded spelling redirects (shared by [[run]]
+    * and [[runDelta]]). */
+  private def buildDict(seeds: Seeds): DataFrame = {
+    val aliasTable =
+      if (seeds.redirects == null) seeds.aliases
+      else AliasLink.foldRedirects(seeds.aliases, seeds.redirects)
+    AliasLink.buildDict(aliasTable)
+  }
+
+  /** The corpus-level stages downstream of the per-page prefix: hypernym
+    * mining, F9, canonicalization (either mode), rule mining + taxonomy-
+    * guarded type inference, relations, and the pred-partitioned triple
+    * write. Shared verbatim by [[run]] and [[runDelta]] — both feed it the
+    * full-corpus `pagesText` and `linkedAll` checkpoints. */
+  private def corpusStages(spark: SparkSession, runner: StageRunner,
+                           pagesText: DataFrame, linkedAll: DataFrame,
+                           dict: DataFrame, seeds: Seeds,
+                           canon: Canonicalization): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+
+    // 1b. corpus hypernym mining over page prose (A5/N9 — Hearst patterns)
+    runner.run("hypernyms") {
+      graft.mine.Hearst.corpusCounts(
+        pagesText.select("url", "text").as[(String, String)])
+    }
+
     val (linked, unlinked) = AliasLink.splitLinked(linkedAll)
 
     // 3b. F9: drop frequent unknown labels (boilerplate) before clustering

@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+import graft.core.Schemas.Page
+import graft.emit.TripleDiff
+import graft.testkit.CorpusGen
+
+/** Incremental re-crawl processing ([[Pipeline.runDelta]]): a delta run over
+  * a new crawl snapshot must emit EXACTLY the triples a full run over that
+  * snapshot emits, while sending only changed/added captures through the
+  * per-page extract→parse→link prefix. The scenario exercises all three
+  * delta classes at once: a page ADDED since the previous crawl, a page
+  * MODIFIED (new capture timestamp, different body), and a page DELETED
+  * (present before, absent now — its stale content must not leak). */
+class DeltaSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val world = CorpusGen.default
+  private lazy val seeds = world.seeds(spark)
+
+  /** Previous crawl: v2 minus one listing page (added later), with one
+    * page's earlier capture carrying a DIFFERENT body (modified since),
+    * plus one page v2 no longer contains (deleted). The stale bodies plant
+    * unique unknown labels (3+ items each, passing the usefulness filter)
+    * so any carry-over bug leaks `new:stale.../new:ghost...` triples and
+    * the exact-match gate fails loudly. */
+  private def previousCrawl(v2: Seq[Page]): (Seq[Page], String, String) = {
+    val addedUrl = v2.find(_.url.contains("table-of-scientists")).get.url
+    val modifiedUrl = v2.find(_.url.contains("list-of-artists")).get.url
+    val staleBody = (Seq("== Old items ==") ++
+      (0 until 4).map(j => s"* [[Stale Thing $j]] — superseded entry."))
+      .mkString("\n")
+    val ghostBody = (Seq("== Ghosts ==") ++
+      (0 until 4).map(j => s"* [[Ghost Label $j]] — removed entry."))
+      .mkString("\n")
+    val deleted = Page("https://example.org/deleted-page",
+      new Timestamp(1600000000000L), world.htmlFor(ghostBody), ghostBody, "en")
+    val v1 = v2.filterNot(_.url == addedUrl).map { p =>
+      if (p.url == modifiedUrl)
+        p.copy(warc_ts = new Timestamp(p.warc_ts.getTime - 999999L),
+               html = world.htmlFor(staleBody), text = staleBody)
+      else p
+    } :+ deleted
+    (v1, addedUrl, modifiedUrl)
+  }
+
+  test("delta over a re-crawl == full run over the new crawl (exact)") {
+    val v2 = world.pages
+    val (v1, _, _) = previousCrawl(v2)
+    val prevDir = SparkSuite.tempDir("graft-delta-prev")
+    val outDir = SparkSuite.tempDir("graft-delta-out")
+    Pipeline.run(spark, v1.toDS().toDF(), seeds, prevDir)
+    val triples = Pipeline.runDelta(spark, v2.toDS().toDF(), seeds,
+                                    outDir, prevDir)
+    val expected = world.expectedTriples.toDS().toDF()
+    val pr = TripleDiff.diff(triples, expected)
+    if (pr.precision < 1.0 || pr.recall < 1.0) {
+      triples.join(expected, Seq("subj", "pred", "obj", "is_literal"),
+                   "left_anti").show(30, truncate = false)
+      expected.join(triples, Seq("subj", "pred", "obj", "is_literal"),
+                    "left_anti").show(30, truncate = false)
+    }
+    assert(pr.precision == 1.0 && pr.recall == 1.0, s"delta drift: $pr")
+    // the stale/deleted bodies must leave no trace
+    assert(triples.filter(org.apache.spark.sql.functions.col("subj")
+      .contains("stalething")).count() == 0)
+    assert(triples.filter(org.apache.spark.sql.functions.col("subj")
+      .contains("ghostlabel")).count() == 0)
+    // work saved: only the added + modified pages were parsed
+    val deltaMentions = spark.read.parquet(s"$outDir/mentions")
+    val fullMentions = spark.read.parquet(s"$prevDir/mentions")
+    val parsedUrls = deltaMentions.select("url").distinct().count()
+    assert(parsedUrls == 2, s"delta parsed $parsedUrls pages, expected 2")
+    assert(deltaMentions.count() < fullMentions.count() / 4)
+  }
+
+  test("delta over an unchanged crawl parses nothing and emits the same KG") {
+    val v2 = world.pages
+    val prevDir = SparkSuite.tempDir("graft-delta-same-prev")
+    val outDir = SparkSuite.tempDir("graft-delta-same-out")
+    val full = Pipeline.run(spark, v2.toDS().toDF(), seeds, prevDir)
+    val delta = Pipeline.runDelta(spark, v2.toDS().toDF(), seeds,
+                                  outDir, prevDir)
+    assert(spark.read.parquet(s"$outDir/mentions").count() == 0)
+    val pr = TripleDiff.diff(delta, full)
+    assert(pr.precision == 1.0 && pr.recall == 1.0, s"no-op delta drift: $pr")
+  }
+}
