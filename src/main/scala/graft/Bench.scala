@@ -120,6 +120,16 @@ object Bench {
     val nTriples = triples.count()
     val pipelineSec = (System.nanoTime() - tP0) / 1e9
 
+    // scored-ED canonicalization throughput on the same corpus (fresh
+    // outDir — mode-specific stages must not resume CC-mode checkpoints)
+    val tE0 = System.nanoTime()
+    val triplesEd = Pipeline.run(spark, spark.read.parquet(pagesPath),
+                                 seeds1, s"$benchDir/out-ed",
+                                 s"bench-ed-$cpus",
+                                 canon = Pipeline.Canonicalization.ScoredEd())
+    val nTriplesEd = triplesEd.count()
+    val pipelineEdSec = (System.nanoTime() - tE0) / 1e9
+
     // NT-render A/B: the single-pass native expression vs the previous
     // ~15-step regexp_replace fold, over the same replicated triple table
     // (full evaluation forced through an aggregate, no write overhead)
@@ -237,6 +247,9 @@ object Bench {
       s""""pipeline_sec":$pipelineSec,""" +
       s""""pipeline_pages_per_s":${nPages / pipelineSec},""" +
       s""""pipeline_triples_per_s":${nTriples / pipelineSec},""" +
+      s""""pipeline_ed_sec":$pipelineEdSec,""" +
+      s""""pipeline_ed_pages_per_s":${nPages / pipelineEdSec},""" +
+      s""""pipeline_ed_triples":$nTriplesEd,""" +
       s""""nt_render":{"rows":$ntRows,"native_sec":$ntNativeSec,""" +
       s""""regex_fold_sec":$ntRegexSec,""" +
       s""""speedup":${ntRegexSec / ntNativeSec}},""" +
