@@ -110,6 +110,16 @@ object Pipeline {
     // the new shape (it would silently empty the NIL path).
     val linkedAll = runner.run("linked_all") { AliasLink.linkAll(mentions, dict) }
 
+    // 1b. corpus hypernym mining over page prose (A5/N9 — Hearst patterns)
+    locally {
+      val sp = spark
+      import sp.implicits._
+      runner.run("hypernyms") {
+        graft.mine.Hearst.corpusCounts(
+          pagesText.select("url", "text").as[(String, String)])
+      }
+    }
+
     corpusStages(spark, runner, pagesText, linkedAll, dict, seeds, canon)
   }
 
@@ -141,25 +151,64 @@ object Pipeline {
     val manifest = runner.run("crawl_manifest") {
       newPages.filter(col("lang") === "en").select("url", "warc_ts")
     }
-    // unchanged = same capture in both crawls (and still present — carried
-    // rows semi-join the NEW manifest, so deletions drop out here)
-    val unchangedUrls = manifest
-      .join(prevManifest, Seq("url", "warc_ts"), "left_semi")
-      .select("url")
+    // The join must be keyed by the SMALL side — the delta, not the corpus.
+    // A re-crawl changes ~1% of captures, so the changed/deleted key sets
+    // broadcast and every carry below is a broadcast (anti/semi) hash join
+    // with the corpus side unshuffled; joining on the 99% unchanged set
+    // instead would shuffle the whole corpus twice and cost more than the
+    // full run it replaces (measured — see BENCH/BASELINE.md). At 10^12
+    // docs, where even 1% outgrows a broadcast, the same shape holds with
+    // url-bucketed checkpoint tables (SCALE.md).
+    val changedCaptures = manifest
+      .join(prevManifest, Seq("url", "warc_ts"), "left_anti")
+    val staleUrls = prevManifest.select("url")
+      .join(manifest.select("url"), Seq("url"), "left_anti")
+    // previous state that must NOT carry: changed captures + deleted urls
+    val dropUrls = changedCaptures.select("url").unionByName(staleUrls)
+      .distinct()
 
+    // extract ONLY the changed slice (its own stage: mentions and the
+    // merged text both reuse it without re-extracting)
+    val freshText = runner.run("pages_text_fresh") {
+      TextExtract.extract(newPages.join(
+        broadcast(changedCaptures.select("url")), Seq("url"), "left_semi"))
+    }
     val pagesText = runner.run("pages_text") {
-      val changed = newPages.join(unchangedUrls, Seq("url"), "left_anti")
-      prevText.join(unchangedUrls, Seq("url"), "left_semi")
-        .unionByName(TextExtract.extract(changed))
+      prevText.join(broadcast(dropUrls), Seq("url"), "left_anti")
+        .unionByName(freshText)
     }
 
     // parse + link ONLY the changed slice; carried links rejoin afterwards
-    val freshText = pagesText.join(unchangedUrls, Seq("url"), "left_anti")
     val mentions = runner.run("mentions") { ListingExtract.mentions(freshText) }
     val dict = buildDict(seeds)
     val linkedAll = runner.run("linked_all") {
-      prevLinked.join(unchangedUrls, Seq("url"), "left_semi")
+      prevLinked.join(broadcast(dropUrls), Seq("url"), "left_anti")
         .unionByName(AliasLink.linkAll(mentions, dict))
+    }
+
+    // 1b. hypernym counts, DELTA-MAINTAINED: corpusCounts is an additive
+    // per-page aggregation, so new = prev − counts(dropped old captures) +
+    // counts(fresh captures) — the materialized-view maintenance identity.
+    // A full recompute here scans the whole corpus's prose (it dominated
+    // the measured delta wall); maintenance touches only the ~1% delta.
+    // Pairs whose count cancels to 0 drop out, so the result is EXACTLY the
+    // full-run aggregate (asserted by DeltaSpec).
+    locally {
+      val sp = spark
+      import sp.implicits._
+      val prevHyp = spark.read.parquet(s"$prevDir/hypernyms")
+      runner.run("hypernyms") {
+        val droppedOld = prevText
+          .join(broadcast(dropUrls), Seq("url"), "left_semi")
+        val minus = graft.mine.Hearst.corpusCounts(
+            droppedOld.select("url", "text").as[(String, String)])
+          .withColumn("cnt", -col("cnt"))
+        val plus = graft.mine.Hearst.corpusCounts(
+          freshText.select("url", "text").as[(String, String)])
+        prevHyp.unionByName(plus).unionByName(minus)
+          .groupBy("sub", "obj").agg(sum("cnt").as("cnt"))
+          .filter(col("cnt") > 0)
+      }
     }
 
     corpusStages(spark, runner, pagesText, linkedAll, dict, seeds, canon)
@@ -183,15 +232,6 @@ object Pipeline {
                            pagesText: DataFrame, linkedAll: DataFrame,
                            dict: DataFrame, seeds: Seeds,
                            canon: Canonicalization): DataFrame = {
-    val sp = spark
-    import sp.implicits._
-
-    // 1b. corpus hypernym mining over page prose (A5/N9 — Hearst patterns)
-    runner.run("hypernyms") {
-      graft.mine.Hearst.corpusCounts(
-        pagesText.select("url", "text").as[(String, String)])
-    }
-
     val (linked, unlinked) = AliasLink.splitLinked(linkedAll)
 
     // 3b. F9: drop frequent unknown labels (boilerplate) before clustering

@@ -1,6 +1,9 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-/** args: pagesPath [mode] — mode "cc" (default) or "ed" (ScoredEd). */
+import org.apache.spark.sql.functions._
+/** args: pagesPath [mode] — mode "cc" (default), "ed" (ScoredEd), or
+  * "delta" (full run, then an incremental run over a re-crawl with ~1% of
+  * pages modified — measures the delta-refresh bill vs the full bill). */
 object PipelineSoak {
   def main(args: Array[String]): Unit = {
     val pagesPath = args(0)
@@ -14,17 +17,41 @@ object PipelineSoak {
     val world = graft.testkit.CorpusGen.World(nCountries = 250, knownPerListing = 12)
     val seeds = world.seeds(spark)
     val out = java.nio.file.Files.createTempDirectory("graft-soak").toString
-    val n = spark.read.parquet(pagesPath).count()
+    val pages = spark.read.parquet(pagesPath)
+    val n = pages.count()
     val canon =
       if (mode == "ed") graft.Pipeline.Canonicalization.ScoredEd()
       else graft.Pipeline.Canonicalization.Components
     val t0 = System.nanoTime()
-    val triples = graft.Pipeline.run(spark, spark.read.parquet(pagesPath),
-                                     seeds, out, canon = canon)
+    val triples = graft.Pipeline.run(spark, pages, seeds, out, canon = canon)
     val nt = triples.count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"SOAK mode=$mode pages=$n triples=$nt sec=$sec " +
             s"pages_per_s=${n/sec} triples_per_s=${nt/sec}")
+    if (mode == "delta") {
+      // re-crawl: ~1% of pages get a new capture (bumped warc_ts, body
+      // appended — changes text, not the mention set, so triples and the
+      // correctness baseline are unchanged)
+      val changed = pmod(xxhash64(col("url")), lit(100)) === 0
+      val v2 = pages
+        .withColumn("warc_ts",
+          when(changed, col("warc_ts") + expr("INTERVAL 1 HOUR"))
+            .otherwise(col("warc_ts")))
+        .withColumn("html",
+          when(changed, concat(col("html"),
+            lit(" <p>updated</p>".getBytes("UTF-8"))))
+            .otherwise(col("html")))
+        .localCheckpoint()
+      val nChanged = v2.filter(changed).count()
+      val outD = java.nio.file.Files.createTempDirectory("graft-soak-d").toString
+      val tD = System.nanoTime()
+      val deltaTriples = graft.Pipeline.runDelta(spark, v2, seeds, outD, out)
+      val ntD = deltaTriples.count()
+      val secD = (System.nanoTime() - tD) / 1e9
+      println(s"SOAK mode=delta pages=$n changed=$nChanged triples=$ntD " +
+              s"sec=$secD pages_per_s=${n/secD} full_sec=$sec " +
+              s"speedup=${sec/secD}")
+    }
     spark.stop()
   }
 }

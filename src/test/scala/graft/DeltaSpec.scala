@@ -30,7 +30,9 @@ class DeltaSpec extends SparkSuite {
     val staleBody = (Seq("== Old items ==") ++
       (0 until 4).map(j => s"* [[Stale Thing $j]] — superseded entry."))
       .mkString("\n")
-    val ghostBody = (Seq("== Ghosts ==") ++
+    // the prose sentence plants a Hearst pair ONLY this page evidences:
+    // the delta's hypernym maintenance must subtract it to exactly zero
+    val ghostBody = (Seq("A ghost is a spook.", "== Ghosts ==") ++
       (0 until 4).map(j => s"* [[Ghost Label $j]] — removed entry."))
       .mkString("\n")
     val deleted = Page("https://example.org/deleted-page",
@@ -66,6 +68,10 @@ class DeltaSpec extends SparkSuite {
       .contains("stalething")).count() == 0)
     assert(triples.filter(org.apache.spark.sql.functions.col("subj")
       .contains("ghostlabel")).count() == 0)
+    // the delta-maintained hypernym counts equal the full-run aggregate
+    val hyp = spark.read.parquet(s"$outDir/hypernyms")
+      .as[(String, String, Long)].collect().toSet
+    assert(hyp == world.expectedHypernyms.toSet, s"maintained counts: $hyp")
     // work saved: only the added + modified pages were parsed
     val deltaMentions = spark.read.parquet(s"$outDir/mentions")
     val fullMentions = spark.read.parquet(s"$prevDir/mentions")
