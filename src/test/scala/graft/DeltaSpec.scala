@@ -80,6 +80,29 @@ class DeltaSpec extends SparkSuite {
     assert(deltaMentions.count() < fullMentions.count() / 4)
   }
 
+  test("chained deltas: a delta outDir is a valid prevDir for the next") {
+    // crawl v1 (missing two classes of pages) → delta to v1.5 (adds the
+    // modified page's new capture) → delta to v2 (adds the remaining page).
+    // Every delta outDir checkpoints FULL merged tables plus the maintained
+    // aggregates, so snapshot N+1 chains off snapshot N's outDir — the
+    // recurring-crawl lifecycle. The final chained KG must equal the
+    // expected full-run triples exactly.
+    val v2 = world.pages
+    val (v1, addedUrl, _) = previousCrawl(v2)
+    val mid = v2.filterNot(_.url == addedUrl) // v1.5: still missing `added`
+    val d0 = SparkSuite.tempDir("graft-chain-0")
+    val d1 = SparkSuite.tempDir("graft-chain-1")
+    val d2 = SparkSuite.tempDir("graft-chain-2")
+    Pipeline.run(spark, v1.toDS().toDF(), seeds, d0)
+    Pipeline.runDelta(spark, mid.toDS().toDF(), seeds, d1, d0)
+    val triples = Pipeline.runDelta(spark, v2.toDS().toDF(), seeds, d2, d1)
+    val pr = TripleDiff.diff(triples, world.expectedTriples.toDS().toDF())
+    assert(pr.precision == 1.0 && pr.recall == 1.0, s"chained drift: $pr")
+    // the second hop parsed ONLY the one page added after v1.5
+    assert(spark.read.parquet(s"$d2/mentions")
+      .select("url").distinct().count() == 1)
+  }
+
   test("delta over an unchanged crawl parses nothing and emits the same KG") {
     val v2 = world.pages
     val prevDir = SparkSuite.tempDir("graft-delta-same-prev")
