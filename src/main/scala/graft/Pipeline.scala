@@ -144,6 +144,13 @@ object Pipeline {
                canon: Canonicalization = Canonicalization.Components): DataFrame = {
     Normalize.register(spark)
     val runner = new StageRunner(spark, outDir, runId)
+    for (stage <- Seq("crawl_manifest", "pages_text", "linked_all",
+                      "hypernyms"))
+      require(java.nio.file.Files.exists(
+                java.nio.file.Paths.get(s"$prevDir/$stage", "_SUCCESS")),
+              s"runDelta: $prevDir lacks the '$stage' checkpoint — prevDir " +
+              "must be the outDir of a completed run() or runDelta() " +
+              "(pre-manifest outDirs cannot seed a delta; run full once)")
     val prevManifest = spark.read.parquet(s"$prevDir/crawl_manifest")
     val prevText = spark.read.parquet(s"$prevDir/pages_text")
     val prevLinked = spark.read.parquet(s"$prevDir/linked_all")
