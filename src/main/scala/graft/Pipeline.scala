@@ -89,9 +89,7 @@ object Pipeline {
     // crawl slice. A later [[runDelta]] anti-joins its new crawl against
     // this to find changed/added pages — the capture timestamp is the
     // change signal, so unchanged pages skip extraction entirely.
-    runner.run("crawl_manifest") {
-      pages.filter(col("lang") === "en").select("url", "warc_ts")
-    }
+    runner.run("crawl_manifest") { manifestOf(pages) }
 
     // 1. invariant text extraction (byte-identical per url)
     val pagesText = runner.run("pages_text") { TextExtract.extract(pages) }
@@ -143,11 +141,15 @@ object Pipeline {
                outDir: String, prevDir: String, runId: String = "delta-1",
                canon: Canonicalization = Canonicalization.Components): DataFrame = {
     Normalize.register(spark)
+    require(new java.io.File(outDir).getCanonicalPath !=
+              new java.io.File(prevDir).getCanonicalPath,
+            "runDelta: outDir must differ from prevDir — running in place " +
+            "would resume every stage from the previous checkpoints and " +
+            "silently ignore the new crawl")
     val runner = new StageRunner(spark, outDir, runId)
     for (stage <- Seq("crawl_manifest", "pages_text", "linked_all",
                       "hypernyms"))
-      require(java.nio.file.Files.exists(
-                java.nio.file.Paths.get(s"$prevDir/$stage", "_SUCCESS")),
+      require(StageRunner.completed(prevDir, stage),
               s"runDelta: $prevDir lacks the '$stage' checkpoint — prevDir " +
               "must be the outDir of a completed run() or runDelta() " +
               "(pre-manifest outDirs cannot seed a delta; run full once)")
@@ -155,38 +157,49 @@ object Pipeline {
     val prevText = spark.read.parquet(s"$prevDir/pages_text")
     val prevLinked = spark.read.parquet(s"$prevDir/linked_all")
 
-    val manifest = runner.run("crawl_manifest") {
-      newPages.filter(col("lang") === "en").select("url", "warc_ts")
-    }
+    val manifest = runner.run("crawl_manifest") { manifestOf(newPages) }
     // The join must be keyed by the SMALL side — the delta, not the corpus.
-    // A re-crawl changes ~1% of captures, so the changed/deleted key sets
+    // A re-crawl changes ~1% of captures, so the changed/vanished key sets
     // broadcast and every carry below is a broadcast (anti/semi) hash join
     // with the corpus side unshuffled; joining on the 99% unchanged set
     // instead would shuffle the whole corpus twice and cost more than the
     // full run it replaces (measured — see BENCH/BASELINE.md). At 10^12
     // docs, where even 1% outgrows a broadcast, the same shape holds with
     // url-bucketed checkpoint tables (SCALE.md).
+    //
+    // A url is TOUCHED when its capture set changed in either direction:
+    // new/changed captures (manifest ∖ prev) or vanished captures
+    // (prev ∖ manifest — which covers fully deleted urls too). Touched
+    // urls drop their carried state and re-extract whatever captures the
+    // new crawl still has — so a url that merely LOST one of several
+    // captures re-derives from the survivors instead of carrying the
+    // deleted capture forward.
     val changedCaptures = manifest
       .join(prevManifest, Seq("url", "warc_ts"), "left_anti")
-    val staleUrls = prevManifest.select("url")
-      .join(manifest.select("url"), Seq("url"), "left_anti")
-    // previous state that must NOT carry: changed captures + deleted urls
-    val dropUrls = changedCaptures.select("url").unionByName(staleUrls)
+    val vanishedCaptures = prevManifest
+      .join(manifest, Seq("url", "warc_ts"), "left_anti")
+    val dropUrls = changedCaptures.select("url")
+      .unionByName(vanishedCaptures.select("url"))
       .distinct()
 
-    // extract ONLY the changed slice (its own stage: mentions and the
-    // merged text both reuse it without re-extracting)
+    // extract ONLY the touched slice (its own stage: the fresh mentions and
+    // the merged text both reuse it without re-extracting)
     val freshText = runner.run("pages_text_fresh") {
       TextExtract.extract(newPages.join(
-        broadcast(changedCaptures.select("url")), Seq("url"), "left_semi"))
+        broadcast(dropUrls), Seq("url"), "left_semi"))
     }
     val pagesText = runner.run("pages_text") {
       prevText.join(broadcast(dropUrls), Seq("url"), "left_anti")
         .unionByName(freshText)
     }
 
-    // parse + link ONLY the changed slice; carried links rejoin afterwards
-    val mentions = runner.run("mentions") { ListingExtract.mentions(freshText) }
+    // parse + link ONLY the touched slice; carried links rejoin afterwards.
+    // Stage name is delta-scoped ("mentions_fresh", like "pages_text_fresh")
+    // — run()'s corpus-wide "mentions" checkpoint must never resume into
+    // this delta-only shape or vice versa (the linked_all/linked lesson).
+    val mentions = runner.run("mentions_fresh") {
+      ListingExtract.mentions(freshText)
+    }
     val dict = buildDict(seeds)
     val linkedAll = runner.run("linked_all") {
       prevLinked.join(broadcast(dropUrls), Seq("url"), "left_anti")
@@ -220,6 +233,13 @@ object Pipeline {
 
     corpusStages(spark, runner, pagesText, linkedAll, dict, seeds, canon)
   }
+
+  /** The change fingerprint of a crawl slice (shared by [[run]] and
+    * [[runDelta]] — both sides of the delta anti-join MUST use the same
+    * expression, or delta detection silently desynchronizes from the
+    * recorded manifest). */
+  private def manifestOf(pages: DataFrame): DataFrame =
+    pages.filter(col("lang") === "en").select("url", "warc_ts")
 
   /** Alias dictionary incl. folded spelling redirects (shared by [[run]]
     * and [[runDelta]]). */

@@ -22,7 +22,7 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
 
   private def path(stage: String) = s"$outDir/$stage"
   private def done(stage: String): Boolean =
-    Files.exists(Paths.get(path(stage), "_SUCCESS"))
+    StageRunner.completed(outDir, stage)
 
   private def appendLineage(rows: Seq[(String, String, Long, Long, Long, Long, Boolean)]): Unit = {
     import spark.implicits._
@@ -79,4 +79,13 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
   }
 
   def lineage(): DataFrame = spark.read.parquet(s"$outDir/_lineage")
+}
+
+object StageRunner {
+  /** A stage checkpoint is complete iff its parquet _SUCCESS marker exists
+    * — the single definition of "done" (resume-or-skip here, the prevDir
+    * contract probe in [[graft.Pipeline.runDelta]]); an object-store-aware
+    * completeness check replaces exactly this one method. */
+  def completed(dir: String, stage: String): Boolean =
+    Files.exists(Paths.get(s"$dir/$stage", "_SUCCESS"))
 }

@@ -73,7 +73,7 @@ class DeltaSpec extends SparkSuite {
       .as[(String, String, Long)].collect().toSet
     assert(hyp == world.expectedHypernyms.toSet, s"maintained counts: $hyp")
     // work saved: only the added + modified pages were parsed
-    val deltaMentions = spark.read.parquet(s"$outDir/mentions")
+    val deltaMentions = spark.read.parquet(s"$outDir/mentions_fresh")
     val fullMentions = spark.read.parquet(s"$prevDir/mentions")
     val parsedUrls = deltaMentions.select("url").distinct().count()
     assert(parsedUrls == 2, s"delta parsed $parsedUrls pages, expected 2")
@@ -99,8 +99,47 @@ class DeltaSpec extends SparkSuite {
     val pr = TripleDiff.diff(triples, world.expectedTriples.toDS().toDF())
     assert(pr.precision == 1.0 && pr.recall == 1.0, s"chained drift: $pr")
     // the second hop parsed ONLY the one page added after v1.5
-    assert(spark.read.parquet(s"$d2/mentions")
+    assert(spark.read.parquet(s"$d2/mentions_fresh")
       .select("url").distinct().count() == 1)
+  }
+
+  test("losing one of a url's captures re-derives the url from survivors") {
+    // prev crawl holds TWO captures of one url — the real one plus an extra
+    // capture whose body plants a unique label; the new crawl keeps only
+    // the real capture. The url's capture SET changed while the surviving
+    // capture's (url, warc_ts) did not — dropping carried state on changed
+    // captures alone would carry the extra capture's content forever.
+    val v2 = world.pages
+    val host = v2.find(_.url.contains("list-of-books")).get
+    val extraBody = (Seq("== Extra ==") ++
+      (0 until 4).map(j => s"* [[Orphan Capture $j]] — extra entry."))
+      .mkString("\n")
+    val extra = host.copy(
+      warc_ts = new Timestamp(host.warc_ts.getTime + 777777L),
+      html = world.htmlFor(extraBody), text = extraBody)
+    val v1 = v2 :+ extra
+    val prevDir = SparkSuite.tempDir("graft-delta-cap-prev")
+    val outDir = SparkSuite.tempDir("graft-delta-cap-out")
+    Pipeline.run(spark, v1.toDS().toDF(), seeds, prevDir)
+    val triples = Pipeline.runDelta(spark, v2.toDS().toDF(), seeds,
+                                    outDir, prevDir)
+    val pr = TripleDiff.diff(triples, world.expectedTriples.toDS().toDF())
+    assert(pr.precision == 1.0 && pr.recall == 1.0, s"capture-loss: $pr")
+    assert(triples.filter(org.apache.spark.sql.functions.col("subj")
+      .contains("orphancapture")).count() == 0)
+    // the touched url's surviving capture was re-extracted, nothing else
+    assert(spark.read.parquet(s"$outDir/mentions_fresh")
+      .select("url").distinct().count() == 1)
+  }
+
+  test("runDelta refuses to run in place (outDir == prevDir)") {
+    val v = world.pages
+    val d = SparkSuite.tempDir("graft-delta-inplace")
+    Pipeline.run(spark, v.toDS().toDF(), seeds, d)
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.runDelta(spark, v.toDS().toDF(), seeds, d, d)
+    }
+    assert(e.getMessage.contains("outDir must differ"))
   }
 
   test("delta over an unchanged crawl parses nothing and emits the same KG") {
@@ -110,7 +149,7 @@ class DeltaSpec extends SparkSuite {
     val full = Pipeline.run(spark, v2.toDS().toDF(), seeds, prevDir)
     val delta = Pipeline.runDelta(spark, v2.toDS().toDF(), seeds,
                                   outDir, prevDir)
-    assert(spark.read.parquet(s"$outDir/mentions").count() == 0)
+    assert(spark.read.parquet(s"$outDir/mentions_fresh").count() == 0)
     val pr = TripleDiff.diff(delta, full)
     assert(pr.precision == 1.0 && pr.recall == 1.0, s"no-op delta drift: $pr")
   }
