@@ -132,6 +132,22 @@ class DeltaSpec extends SparkSuite {
       .select("url").distinct().count() == 1)
   }
 
+  test("delta composes with scored-ED canonicalization (prefix is canon-free)") {
+    // the carried stages (manifest, pages_text, linked_all, hypernyms) are
+    // canonicalization-independent, so a scored-ED delta chains off a
+    // CC-mode previous run and must equal the full scored-ED output (which
+    // at default thresholds equals the expected triples — PipelineSpec)
+    val v2 = world.pages
+    val (v1, _, _) = previousCrawl(v2)
+    val prevDir = SparkSuite.tempDir("graft-delta-ed-prev")
+    val outDir = SparkSuite.tempDir("graft-delta-ed-out")
+    Pipeline.run(spark, v1.toDS().toDF(), seeds, prevDir)
+    val triples = Pipeline.runDelta(spark, v2.toDS().toDF(), seeds,
+      outDir, prevDir, canon = Pipeline.Canonicalization.ScoredEd())
+    val pr = TripleDiff.diff(triples, world.expectedTriples.toDS().toDF())
+    assert(pr.precision == 1.0 && pr.recall == 1.0, s"ED-delta drift: $pr")
+  }
+
   test("runDelta refuses to run in place (outDir == prevDir)") {
     val v = world.pages
     val d = SparkSuite.tempDir("graft-delta-inplace")
