@@ -315,13 +315,20 @@ object Pipeline {
     val seedTypes = seeds.entityTypes.select(col("ent"), col("tpe"))
     val closureSelf = Disjointness.closureWithSelf(seeds.taxonomyEdges)
 
+    // the distinct (url, listing_key, ent) projection feeds FOUR consumers
+    // (both rule miners and both assertion joins) — checkpoint it once
+    // instead of paying the corpus-wide distinct shuffle per consumer
+    val subjectListings = runner.run("subject_listings") {
+      subjects.select("url", "listing_key", "ent").distinct()
+    }
+
     // type rules get their own stage: downstream they feed BOTH the typed
     // assertions and the ontology-class provenance
     val listingTypes = runner.run("type_rules") {
-      RuleMining.listingTypeRules(subjects, seedTypes)
+      RuleMining.listingTypeRules(subjectListings, seedTypes)
     }
     val types = runner.run("types") {
-      val cand = subjects.select("url", "listing_key", "ent").distinct()
+      val cand = subjectListings
         .join(listingTypes, Seq("url", "listing_key"))
         .select("ent", "tpe").distinct()
         .join(seedTypes, Seq("ent", "tpe"), "left_anti") // J8: drop existing
@@ -335,9 +342,9 @@ object Pipeline {
     }
 
     val relations = runner.run("relations") {
-      val listingRels = RuleMining.listingRelationRules(subjects,
+      val listingRels = RuleMining.listingRelationRules(subjectListings,
                                                         seeds.seedRelations)
-      subjects.select("url", "listing_key", "ent").distinct()
+      subjectListings
         .join(listingRels, Seq("url", "listing_key"))
         .select("ent", "pred", "obj").distinct()
         .join(seeds.seedRelations

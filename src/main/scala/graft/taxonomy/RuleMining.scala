@@ -25,10 +25,14 @@ object RuleMining {
   val MinShare = 0.75
   val MinSupport = 2
 
-  /** subjects(url, listing_key, ent) distinct × seedTypes(ent, tpe) →
-    * listing-level type rules (url, listing_key, tpe). */
-  def listingTypeRules(subjects: DataFrame, seedTypes: DataFrame): DataFrame = {
-    val linked = subjects.select("url", "listing_key", "ent").distinct()
+  /** subjectListings(url, listing_key, ent) × seedTypes(ent, tpe) →
+    * listing-level type rules (url, listing_key, tpe). Duplicate input
+    * triples are harmless (every aggregate below is countDistinct), so
+    * callers pass the pipeline's shared deduplicated `subject_listings`
+    * checkpoint WITHOUT re-paying a corpus-wide distinct shuffle here. */
+  def listingTypeRules(subjectListings: DataFrame,
+                       seedTypes: DataFrame): DataFrame = {
+    val linked = subjectListings.select("url", "listing_key", "ent")
       .join(seedTypes, "ent")
     val totals = linked.groupBy("url", "listing_key")
       .agg(countDistinct("ent").as("total"))
@@ -45,9 +49,11 @@ object RuleMining {
   }
 
   /** Same shape for (pred, obj) relations: majority object per (listing,
-    * pred) with share/support thresholds (≙ extract.py:206-258). */
-  def listingRelationRules(subjects: DataFrame, seedRels: DataFrame): DataFrame = {
-    val linked = subjects.select("url", "listing_key", "ent").distinct()
+    * pred) with share/support thresholds (≙ extract.py:206-258). Dup-safe
+    * like [[listingTypeRules]] — no internal distinct. */
+  def listingRelationRules(subjectListings: DataFrame,
+                           seedRels: DataFrame): DataFrame = {
+    val linked = subjectListings.select("url", "listing_key", "ent")
       .join(seedRels.select(col("sub").as("ent"), col("pred"), col("obj")), "ent")
     val totals = linked.groupBy("url", "listing_key", "pred")
       .agg(countDistinct("ent").as("total"))
