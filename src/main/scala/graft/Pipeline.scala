@@ -315,9 +315,9 @@ object Pipeline {
     val seedTypes = seeds.entityTypes.select(col("ent"), col("tpe"))
     val closureSelf = Disjointness.closureWithSelf(seeds.taxonomyEdges)
 
-    // the distinct (url, listing_key, ent) projection feeds FOUR consumers
-    // (both rule miners and both assertion joins) — checkpoint it once
-    // instead of paying the corpus-wide distinct shuffle per consumer
+    // the distinct (url, listing_key, ent) projection feeds FIVE consumers
+    // (both rule miners, both assertion joins, provenance) — checkpoint it
+    // once instead of paying the corpus-wide distinct shuffle per consumer
     val subjectListings = runner.run("subject_listings") {
       subjects.select("url", "listing_key", "ent").distinct()
     }
@@ -358,7 +358,10 @@ object Pipeline {
     // type wasDerivedFrom the listings whose rule asserted it
     // (serialize.py:158-164, classes ← their associated source pages).
     runner.runPartitioned("triples", "pred") {
-      val provenance = fresh(subjects.select("ent", "url").distinct())
+      // (ent, url) provenance pairs come from the deduplicated listing
+      // projection — same set as distinct-ing mention-level subjects,
+      // minus the corpus-wide shuffle over the wider table
+      val provenance = fresh(subjectListings.select("ent", "url").distinct())
         .unionByName(fresh(listingTypes
           .select(col("tpe").as("ent"), col("url")).distinct()))
       TripleEmit.assemble(
