@@ -99,14 +99,15 @@ object AlignmentGraph {
                          scoreFn: DataFrame => DataFrame,
                          meThreshold: Double = 0.5,
                          mmThreshold: Double = 0.5,
-                         pathThreshold: Double = 0.75): DataFrame = {
+                         pathThreshold: Double = 0.75,
+                         report: graft.runtime.LoopReport = null): DataFrame = {
     // checkpoint: NastyLinker scans the edge set repeatedly (bidir groupBy,
     // CC, NIL subgraph) — without this the broadcast join + window + MM
     // self-join lineage would re-execute on every scan
     val edges = buildScored(mentions, dict, scoreFn, meThreshold,
                             mmThreshold)
       .localCheckpoint()
-    val clustered = NastyLinker.cluster(edges, pathThreshold)
+    val clustered = NastyLinker.cluster(edges, pathThreshold, report = report)
     // mentions with NO candidate edge at all never reach the graph: they
     // are singleton NIL clusters (the reference only clusters graph nodes;
     // the pipeline's F9/NIL path handles the rest — kept here for totality)

@@ -28,8 +28,11 @@ object ConnectedComponents {
   import graft.runtime.Checkpoints
 
   /** edges(src, dst): undirected pairs (any orientation, self-loops ok).
-    * Returns (node, component) for every node appearing in `edges`. */
-  def run(edges: DataFrame): DataFrame = {
+    * Returns (node, component) for every node appearing in `edges`.
+    * `report`, when given, receives the round count and convergence flag
+    * (surfaced into stage lineage — north-rule counters). */
+  def run(edges: DataFrame,
+          report: graft.runtime.LoopReport = null): DataFrame = {
     var (e, eIds) = Checkpoints.tracked(symmetrize(edges))
     var converged = false
     var iter = 0
@@ -50,6 +53,7 @@ object ConnectedComponents {
       e = next; eIds = nextIds
       iter += 1
     }
+    if (report != null) { report.rounds = iter; report.converged = converged }
     // e is now a star forest: src -> root. Roots have no outgoing edge; add
     // the (root, root) self-mapping.
     e.select(col("src").as("node"), col("dst").as("component"))

@@ -43,7 +43,8 @@ object NastyLinker {
     *  - NIL rows have ent = null and cluster_id = "nil:<min mention id>"
     *    (content-derived, partitioning-invariant). */
   def cluster(edges: DataFrame, pathThreshold: Double = 0.75,
-              maxIter: Int = 30): DataFrame = {
+              maxIter: Int = 30,
+              report: graft.runtime.LoopReport = null): DataFrame = {
     val e = edges.select(col("src"), col("dst"),
                          least(col("weight"), lit(1.0)).as("weight"))
     // undirected, multi-edge-deduped (keep best weight per direction)
@@ -105,6 +106,7 @@ object NastyLinker {
       cur = merged; curIds = mergedIds
       iter += 1
     }
+    if (report != null) { report.rounds = iter; report.converged = converged }
     // Truncation must be OBSERVABLE (round-2 ADVICE): weight-1.0 edges do
     // not decay, so a >threshold region with diameter > maxIter would
     // silently leave attachable mentions in NIL. Same iteration-bound

@@ -16,12 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object NilCluster {
 
-  /** unlinked(mention_id, key, ...) → assignments(mention_id, ent). */
-  def cluster(unlinked: DataFrame): DataFrame = {
+  /** unlinked(mention_id, key, ...) → assignments(mention_id, ent).
+    *
+    * Every mention node carries exactly ONE key edge, so a component never
+    * spans beyond its key — which makes the assignment PAGE-LOCAL: clustering
+    * any url-slice of the input yields the same (mention_id, ent) rows as
+    * clustering the whole corpus (the property [[graft.Pipeline.runDelta]]'s
+    * subjects maintenance relies on). */
+  def cluster(unlinked: DataFrame,
+              report: graft.runtime.LoopReport = null): DataFrame = {
     val edges = unlinked.select(
       concat(lit("m:"), col("mention_id")).as("src"),
       concat(lit("k:"), col("key")).as("dst"))
-    val cc = ConnectedComponents.run(edges)
+    val cc = ConnectedComponents.run(edges, report)
     val keyNodes = cc.filter(col("node").startsWith("k:"))
       .select(col("component"),
               concat(lit("new:"), expr("substring(node, 3)")).as("ent"))

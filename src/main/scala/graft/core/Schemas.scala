@@ -42,7 +42,7 @@ object Schemas {
     * `/root/reference/utils.py:66-118`). */
   case class Lineage(stage: String, run_id: String, rows_in: Long,
                      rows_out: Long, skipped: Long, wall_ms: Long,
-                     resumed: Boolean)
+                     resumed: Boolean, loop_rounds: Long, converged: Boolean)
 
   object Preds {
     val Type = "rdf:type"
@@ -52,6 +52,22 @@ object Schemas {
     val SubClassOf = "rdfs:subClassOf"
     /** ≙ RdfPredicate.WAS_DERIVED_FROM (`serialize.py:158-164,231-239`). */
     val WasDerivedFrom = "prov:wasDerivedFrom"
+    /** ontology-side flavors (`serialize.py:85-146,147-157,221-229`) */
+    val DisjointWith = "owl:disjointWith"
+    val OnProperty = "owl:onProperty"
+    val HasValue = "owl:hasValue"
+    val EquivalentProperty = "owl:equivalentProperty"
+    val SameAs = "owl:sameAs"
+    val Title = "dc:title"
+    val Description = "dc:description"
+  }
+
+  /** Well-known resource objects (`serialize.py:85-146` RdfClass.*). */
+  object Objs {
+    val OwlClass = "owl:Class"
+    val OwlRestriction = "owl:Restriction"
+    val OwlObjectProperty = "owl:ObjectProperty"
+    val VoidDataset = "void:Dataset"
   }
 
   /** NIL-entity sentinels (≙ EntityIndex, `impl/util/transformer.py:5-9`). */

@@ -24,28 +24,35 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
   private def done(stage: String): Boolean =
     StageRunner.completed(outDir, stage)
 
-  private def appendLineage(rows: Seq[(String, String, Long, Long, Long, Long, Boolean)]): Unit = {
+  private def appendLineage(
+      rows: Seq[(String, String, Long, Long, Long, Long, Boolean, Long, Boolean)]): Unit = {
     import spark.implicits._
     rows.toDF("stage", "run_id", "rows_in", "rows_out", "skipped", "wall_ms",
-              "resumed")
+              "resumed", "loop_rounds", "converged")
       .write.mode(SaveMode.Append).parquet(s"$outDir/_lineage")
   }
 
   /** Run (or resume) an unpartitioned stage. `rowsIn` is a cheap driver-side
     * count supplied by the caller when known (-1 = unknown; never forces an
-    * extra job on the hot path). */
-  def run(stage: String, rowsIn: Long = -1L)(f: => DataFrame): DataFrame = {
+    * extra job on the hot path). `report`: a [[LoopReport]] the stage body's
+    * iterative operator fills — its rounds/converged land in the lineage row
+    * (loop_rounds = -1 ⇔ no iterative op ran). */
+  def run(stage: String, rowsIn: Long = -1L, report: LoopReport = null)
+         (f: => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
+    def loopCols: (Long, Boolean) =
+      if (report == null) (-1L, true) else (report.rounds, report.converged)
     if (done(stage)) {
       val df = spark.read.parquet(path(stage))
       appendLineage(Seq((stage, runId, rowsIn, df.count(), 0L,
-        (System.nanoTime() - t0) / 1000000, true)))
+        (System.nanoTime() - t0) / 1000000, true, -1L, true)))
       df
     } else {
       f.write.mode(SaveMode.Overwrite).parquet(path(stage))
       val df = spark.read.parquet(path(stage))
+      val (rounds, conv) = loopCols
       appendLineage(Seq((stage, runId, rowsIn, df.count(), 0L,
-        (System.nanoTime() - t0) / 1000000, false)))
+        (System.nanoTime() - t0) / 1000000, false, rounds, conv)))
       df
     }
   }
@@ -72,9 +79,10 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
     val wall = (System.nanoTime() - t0) / 1000000
     val perPart = df.groupBy(partCol).count().collect().toSeq
       .map(r => (s"$stage/$partCol=${r.get(0)}", runId, rowsIn, r.getLong(1),
-                 0L, wall, resumed))
+                 0L, wall, resumed, -1L, true))
     appendLineage(perPart :+
-      ((stage, runId, rowsIn, perPart.map(_._4).sum, 0L, wall, resumed)))
+      ((stage, runId, rowsIn, perPart.map(_._4).sum, 0L, wall, resumed,
+        -1L, true)))
     df
   }
 

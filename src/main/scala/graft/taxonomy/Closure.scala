@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object Closure {
 
-  def transitiveClosure(edges: DataFrame): DataFrame = {
+  def transitiveClosure(edges: DataFrame,
+                        report: graft.runtime.LoopReport = null): DataFrame = {
     import graft.runtime.Checkpoints
     val e = edges.select(col("node"), col("anc")).distinct().localCheckpoint()
     var closure = e
@@ -50,6 +51,7 @@ object Closure {
       }
       rounds += 1
     }
+    if (report != null) { report.rounds = rounds; report.converged = done }
     closure
   }
 }

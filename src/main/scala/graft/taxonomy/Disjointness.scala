@@ -15,10 +15,11 @@ object Disjointness {
 
   /** closureWithSelf(node, anc): transitive ancestors INCLUDING the node
     * itself — the shape both the guard and transitive typing need. */
-  def closureWithSelf(taxonomyEdges: DataFrame): DataFrame = {
+  def closureWithSelf(taxonomyEdges: DataFrame,
+                      report: graft.runtime.LoopReport = null): DataFrame = {
     val edges = taxonomyEdges.select(col("child").as("node"),
                                      col("parent").as("anc"))
-    val closure = Closure.transitiveClosure(edges)
+    val closure = Closure.transitiveClosure(edges, report)
     val selfPairs = taxonomyEdges.select(col("child").as("node"))
       .unionByName(taxonomyEdges.select(col("parent").as("node")))
       .distinct()

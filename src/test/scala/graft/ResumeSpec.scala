@@ -78,5 +78,23 @@ class ResumeSpec extends SparkSuite {
       .filter(col("stage").startsWith("triples/pred="))
       .select("stage").as[String].collect()
     assert(parts.length >= 3, s"per-pred lineage missing: ${parts.toSeq}")
+    // iterative stages surface their loop rounds + convergence in lineage
+    // (north-rule counters: truncation must be observable, not just logged)
+    val lin = spark.read.parquet(s"$outDir/_lineage")
+      .select("stage", "loop_rounds", "converged")
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(lin("nil_entities")._1 >= 1 && lin("nil_entities")._2,
+           s"nil_entities counters: ${lin("nil_entities")}")
+    assert(lin("types")._1 >= 1 && lin("types")._2, // taxonomy closure loop
+           s"types counters: ${lin("types")}")
+    assert(lin("pages_text")._1 == -1L) // non-iterative stages stay unmarked
+    // the NastyLinker loop reports through the same seam
+    val rep = new graft.runtime.LoopReport
+    graft.canonical.NastyLinker.cluster(
+      Seq(("m:1", "e:a", 0.9), ("m:1", "e:b", 0.8), ("m:2", "m:1", 1.0))
+        .toDF("src", "dst", "weight"), report = rep)
+      .count()
+    assert(rep.rounds >= 1 && rep.converged, s"(${rep.rounds}, ${rep.converged})")
   }
 }
