@@ -13,8 +13,14 @@ object TripleEmit {
 
   /** Majority label per entity with deterministic tie-break (A14,
     * ≙ `entity.py:121`): count desc, label asc. */
-  def majorityLabels(entLabels: DataFrame): DataFrame = {
-    val counts = entLabels.groupBy("ent", "label").agg(count(lit(1)).as("cnt"))
+  def majorityLabels(entLabels: DataFrame): DataFrame =
+    majorityLabelsFromCounts(
+      entLabels.groupBy("ent", "label").agg(count(lit(1)).as("cnt")))
+
+  /** [[majorityLabels]] over a pre-aggregated (ent, label, cnt) table — the
+    * shape [[graft.Pipeline.runDelta]] delta-maintains as a materialized
+    * view, so the majority pick never re-scans mention rows. */
+  def majorityLabelsFromCounts(counts: DataFrame): DataFrame = {
     val w = Window.partitionBy("ent")
       .orderBy(col("cnt").desc, col("label").asc)
     counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -47,6 +53,132 @@ object TripleEmit {
     (if (provenance == null) base
      else base.unionByName(provenanceTriples(provenance)))
       .distinct()
+  }
+
+  /** [[assemble]] over the pipeline's maintained aggregates: label COUNTS
+    * instead of raw mention labels (so a delta run feeds the materialized
+    * view straight through), plus optional extra pre-shaped triple blocks
+    * (ontology flavors). */
+  def assembleFromCounts(labelCounts: DataFrame, types: DataFrame,
+                         rels: DataFrame, provenance: DataFrame,
+                         extra: Seq[DataFrame] = Nil): DataFrame = {
+    val base = majorityLabelsFromCounts(labelCounts)
+      .unionByName(typeTriples(types))
+      .unionByName(relationTriples(rels))
+      .unionByName(provenanceTriples(provenance))
+    extra.foldLeft(base)(_ unionByName _).distinct()
+  }
+
+  // — ontology-side serialization flavors (r3 VERDICT missing #2) —
+
+  private def asTriple(subj: org.apache.spark.sql.Column,
+                       pred: String,
+                       obj: org.apache.spark.sql.Column,
+                       isLit: Boolean)(df: DataFrame): DataFrame =
+    df.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj"),
+              lit(isLit).as("is_literal"))
+
+  /** Ontology-class flavor (≙ `serialize.py:85-116` _get_lines_ontology):
+    * every non-root taxonomy node is an owl:Class with an rdfs:label; every
+    * edge serializes as rdfs:subClassOf; disjoint pairs serialize ONCE
+    * (lexicographic a < b, ≙ the `ct.idx < dct.idx` guard at :109-111).
+    * Roots (parents that are never children) are excluded from class/label
+    * rows like the reference's include_root=False. */
+  def ontologyClassTriples(taxonomyEdges: DataFrame,
+                           disjointPairs: DataFrame): DataFrame = {
+    val children = taxonomyEdges.select(col("child").as("t"))
+    val roots = taxonomyEdges.select(col("parent").as("t"))
+      .join(taxonomyEdges.select(col("child").as("t")), Seq("t"), "left_anti")
+    val nodes = children
+      .unionByName(taxonomyEdges.select(col("parent").as("t"))).distinct()
+      .join(roots.distinct(), Seq("t"), "left_anti")
+    asTriple(col("t"), Schemas.Preds.Type, lit(Schemas.Objs.OwlClass),
+             isLit = false)(nodes)
+      .unionByName(
+        asTriple(col("t"), Schemas.Preds.Label, col("t"), isLit = true)(nodes))
+      .unionByName(
+        asTriple(col("child"), Schemas.Preds.SubClassOf, col("parent"),
+                 isLit = false)(taxonomyEdges))
+      .unionByName(
+        asTriple(col("type_a"), Schemas.Preds.DisjointWith, col("type_b"),
+                 isLit = false)(
+          disjointPairs.filter(col("type_a") < col("type_b"))))
+  }
+
+  /** Predicate typing (≙ `serialize.py:102-105`): every ontology predicate
+    * is an owl:ObjectProperty (this engine's mined relations are all
+    * object-valued; literal-valued predicates would emit
+    * owl:DatatypeProperty the same way). Input: (pred) rows. */
+  def ontologyPredicateTriples(predicates: DataFrame): DataFrame =
+    asTriple(col("pred"), Schemas.Preds.Type,
+             lit(Schemas.Objs.OwlObjectProperty), isLit = false)(
+      predicates.select("pred").distinct())
+
+  /** The OWL hasValue restriction name shared by definition and subClassOf
+    * rows (≙ `serialize.py:128-130`: `RestrictionHasValue_{pred.name}_{val}`
+    * — pred.name is the local name, so the namespace prefix is stripped). */
+  private def restrictionName = concat(
+    lit("RestrictionHasValue_"),
+    regexp_replace(col("pred"), "^[a-z]+:", ""), lit("_"), col("obj"))
+
+  /** OWL hasValue restrictions (≙ `serialize.py:117-146`
+    * _serialize_restriction): each DISTINCT (pred, obj) pair defines one
+    * restriction resource (type/label/onProperty/hasValue — the
+    * defined_restrictions dedup is the distinct); every axiom's type
+    * subClassOf's its restriction. Input: axioms(tpe, pred, obj). */
+  def restrictionTriples(axioms: DataFrame): DataFrame = {
+    val defs = axioms.select("pred", "obj").distinct()
+      .withColumn("r", restrictionName)
+    val labels = defs.withColumn("lbl",
+      concat(lit("Restriction onProperty="),
+             regexp_replace(col("pred"), "^[a-z]+:", ""),
+             lit(" hasValue="), col("obj")))
+    asTriple(col("r"), Schemas.Preds.Type, lit(Schemas.Objs.OwlRestriction),
+             isLit = false)(defs)
+      .unionByName(
+        asTriple(col("r"), Schemas.Preds.Label, col("lbl"),
+                 isLit = true)(labels))
+      .unionByName(
+        asTriple(col("r"), Schemas.Preds.OnProperty, col("pred"),
+                 isLit = false)(defs))
+      .unionByName(
+        asTriple(col("r"), Schemas.Preds.HasValue, col("obj"),
+                 isLit = false)(defs))
+      .unionByName(
+        asTriple(col("tpe"), Schemas.Preds.SubClassOf, restrictionName,
+                 isLit = false)(axioms))
+  }
+
+  /** External-KB mapping flavors (≙ `serialize.py:147-157` ontology
+    * mapping, `:221-229` instance sameAs): each input is a 2-column
+    * (local, ext) table; the maps are INPUTS here — the reference reads
+    * them from its DBpedia stores. */
+  def mappingTriples(typeMap: DataFrame, predMap: DataFrame,
+                     entMap: DataFrame): DataFrame =
+    asTriple(col("tpe"), Schemas.Preds.SubClassOf, col("ext"),
+             isLit = false)(typeMap)
+      .unionByName(asTriple(col("pred"), Schemas.Preds.EquivalentProperty,
+                            col("ext"), isLit = false)(predMap))
+      .unionByName(asTriple(col("ent"), Schemas.Preds.SameAs, col("ext"),
+                            isLit = false)(entMap))
+
+  /** void dataset metadata (≙ `serialize.py:55-83` _get_lines_metadata):
+    * fixed description rows plus the entity/class/property counts. */
+  def metadataTriples(spark: org.apache.spark.sql.SparkSession,
+                      entityCount: Long, classCount: Long,
+                      predicateCount: Long): DataFrame = {
+    import spark.implicits._
+    val v = "void:graft"
+    Seq(
+      (v, Schemas.Preds.Type, Schemas.Objs.VoidDataset, false),
+      (v, Schemas.Preds.Title, "Graft KG", true),
+      (v, Schemas.Preds.Description,
+       "Knowledge graph constructed from web-page listings by the graft " +
+         "Spark engine.", true),
+      (v, "void:entities", entityCount.toString, true),
+      (v, "void:classes", classCount.toString, true),
+      (v, "void:properties", predicateCount.toString, true))
+      .toDF("subj", "pred", "obj", "is_literal")
   }
 
   /** N-Triples text rendering (one line per triple) — a single codegen'd

@@ -1,0 +1,101 @@
+package graft.taxonomy
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A9: valid NE tags per entity type (reference:
+  * `/root/reference/impl/listing/context.py:134-171`
+  * get_valid_tags_for_entity_types): P(tag | type) is the share of the
+  * type's entity MENTIONS carrying the tag (per-entity tag counters summed
+  * over the type's entities, `:149-161`); a tag is VALID when the
+  * probability reaches `threshold` (0.35 in the reference's config); types
+  * with NO valid tag inherit the union of their parents' valid tags,
+  * recursively up the taxonomy (`:164-171` — "assign tags of parents to
+  * types without tags to avoid inconsistencies").
+  *
+  * Shuffle shape: one join mentions × entity-types (both entity-keyed) and
+  * two aggregations keyed by type — corpus-side cost is the mention scan;
+  * everything downstream is taxonomy-sized. The inheritance fixpoint is a
+  * driver loop over the (tiny, broadcast) taxonomy, bounded by its depth —
+  * the same discipline as the A9/A10 tag-probability driver fixpoint.
+  */
+object ValidTags {
+
+  val DefaultThreshold = 0.35
+
+  /** mentionTags(ent, tag) × entTypes(ent, tpe) → (tpe, tag, proba). */
+  def tagProbabilities(mentionTags: DataFrame,
+                       entTypes: DataFrame): DataFrame = {
+    val joined = mentionTags.join(entTypes, "ent")
+    val totals = joined.groupBy("tpe").agg(count(lit(1)).as("total"))
+    joined.groupBy("tpe", "tag").agg(count(lit(1)).as("cnt"))
+      .join(totals, "tpe")
+      .select(col("tpe"), col("tag"), (col("cnt") / col("total")).as("proba"))
+  }
+
+  /** Valid (tpe, tag) pairs including parent inheritance. The type
+    * universe is every node of `taxonomyEdges(child, parent)` plus every
+    * type in `entTypes`; a universe type with no over-threshold tag takes
+    * the union of its direct parents' valid sets, where parents may
+    * themselves have inherited — iterated to fixpoint so multi-hop and
+    * diamond inheritance match the reference's recursive union. */
+  def validTags(mentionTags: DataFrame, entTypes: DataFrame,
+                taxonomyEdges: DataFrame,
+                threshold: Double = DefaultThreshold): DataFrame = {
+    val direct = tagProbabilities(mentionTags, entTypes)
+      .filter(col("proba") >= threshold).select("tpe", "tag")
+      .localCheckpoint()
+    val universe = taxonomyEdges.select(col("child").as("tpe"))
+      .unionByName(taxonomyEdges.select(col("parent").as("tpe")))
+      .unionByName(entTypes.select("tpe"))
+      .distinct().localCheckpoint()
+    val missing = universe
+      .join(direct.select("tpe").distinct(), Seq("tpe"), "left_anti")
+      .localCheckpoint()
+    val childEdges = taxonomyEdges
+      .select(col("child").as("tpe"), col("parent"))
+    var acc = direct
+    var inheritedCnt = -1L
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 64) {
+      val inherited = missing
+        .join(broadcast(childEdges), "tpe")
+        .join(acc.select(col("tpe").as("parent"), col("tag")), "parent")
+        .select("tpe", "tag").distinct().localCheckpoint()
+      val n = inherited.count()
+      done = n == inheritedCnt
+      if (!done) {
+        inheritedCnt = n
+        acc = direct.unionByName(inherited).localCheckpoint()
+      }
+      rounds += 1
+    }
+    acc
+  }
+
+  /** The RuleMining gate the reference builds valid tags FOR (subject
+    * entities whose NE tag is invalid for the listing's mined type are
+    * discarded): drops subject mentions (url, listing_key, mention_id,
+    * tag, ...) whose listing has a mined type with KNOWN valid tags the
+    * mention's tag is not among; listings without a mined type, and types
+    * with no known tags, pass through untouched. */
+  def gateSubjects(subjects: DataFrame, listingTypes: DataFrame,
+                   valid: DataFrame): DataFrame = {
+    val typesWithTags = valid.select("tpe").distinct()
+    val bad = subjects.join(listingTypes, Seq("url", "listing_key"))
+      .join(broadcast(typesWithTags), Seq("tpe"), "left_semi")
+      .join(broadcast(valid), Seq("tpe", "tag"), "left_anti")
+      .select("mention_id")
+    subjects.join(bad, Seq("mention_id"), "left_anti")
+  }
+
+  /** Deterministic word-shape tag for a label — the engine's heuristic
+    * stand-in for the reference's spaCy NE tags (M2 discipline: the
+    * plumbing is real, the model is replaceable). */
+  def shapeTag(label: Column): Column =
+    when(label.rlike("^[0-9][0-9,.\\-]*$"), "NUM")
+      .when(label.rlike("^[A-Z0-9 ]+$") && label.rlike("[A-Z]"), "ALLCAPS")
+      .when(label.rlike("^([A-Z][a-z0-9]*)( [A-Z][a-z0-9]*)*$"), "TITLE")
+      .otherwise("OTHER")
+}

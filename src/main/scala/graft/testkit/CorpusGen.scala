@@ -30,10 +30,17 @@ object CorpusGen {
 
   case class World(nCountries: Int = 4, knownPerListing: Int = 6) {
     val leafTypes = Seq("Scientist", "Artist", "Film", "Book")
+    /** The planted-AXIOM type: its listings exist for country 0 ONLY, so
+      * the two listings that mine it agree on (locatedIn, Country 0) at
+      * share 1.0 — the type-level axiom fires (Axioms.typeAxioms) and the
+      * restriction flavors serialize. The regular leaf types spread over
+      * nCountries countries, so no axiom reaches 0.75 share for them
+      * (requires nCountries >= 2). */
+    val specialType = "Comet"
     val parentOf = Map(
       "Scientist" -> "Person", "Artist" -> "Person",
       "City" -> "Place", "Country" -> "Place",
-      "Film" -> "Work", "Book" -> "Work",
+      "Film" -> "Work", "Book" -> "Work", "Comet" -> "Work",
       "Person" -> "Thing", "Place" -> "Thing", "Work" -> "Thing")
     val disjoint = Seq(("Person", "Place"), ("Person", "Work"),
                        ("Place", "Work"))
@@ -59,9 +66,11 @@ object CorpusGen {
       val ents = for {
         t <- leafTypes; k <- 0 until nCountries; j <- 0 until knownPerListing
       } yield EntityType(entName(t, k, j), t)
+      val comets = (0 until knownPerListing)
+        .map(j => EntityType(entName(specialType, 0, j), specialType))
       val ada = Seq(EntityType("Ada Prime A", "Scientist"),
                     EntityType("Ada Prime B", "Scientist"))
-      countries ++ ents ++ ada
+      countries ++ ents ++ comets ++ ada
     }
 
     /** seed (sub, pred, obj) object relations: every known entity is
@@ -70,6 +79,8 @@ object CorpusGen {
       (for {
         t <- leafTypes; k <- 0 until nCountries; j <- 0 until knownPerListing
       } yield (entName(t, k, j), Preds.LocatedIn, countryName(k))) ++
+        (0 until knownPerListing).map(j =>
+          (entName(specialType, 0, j), Preds.LocatedIn, countryName(0))) ++
         Seq(("Ada Prime A", Preds.LocatedIn, countryName(0)),
             ("Ada Prime B", Preds.LocatedIn, countryName(1)))
 
@@ -227,7 +238,15 @@ object CorpusGen {
       val spans = Page("https://example.org/span-tables",
                        new Timestamp(t0 - 180000L), htmlFor(spansBody),
                        spansBody, "en")
-      listPages ++ Seq(ada, spans) ++ mixed ++ nonEn
+      // the axiom type's single listing pair (country 0 only)
+      val comets = Seq("list" -> enumBody(specialType, 0),
+                       "table" -> tableBody(specialType, 0)).zipWithIndex
+        .map { case ((kind, body), i) =>
+          Page(s"https://example.org/$kind-of-comets-of-country-0",
+               new Timestamp(t0 + 888888L + i * 60000L),
+               htmlFor(body), body, "en")
+        }
+      listPages ++ comets ++ Seq(ada, spans) ++ mixed ++ nonEn
     }
 
     // — expected pipeline output (computed from the same parameters) —
@@ -254,12 +273,13 @@ object CorpusGen {
       * ("A <type> is a <parent>." once per enum page). */
     def expectedHypernyms: Seq[(String, String, Long)] =
       leafTypes.map(t =>
-        (t.toLowerCase, parentOf(t).toLowerCase, nCountries.toLong))
+        (t.toLowerCase, parentOf(t).toLowerCase, nCountries.toLong)) :+
+        ((specialType.toLowerCase, parentOf(specialType).toLowerCase, 1L))
 
     /** The exact triple set a correct pipeline must emit. */
     def expectedTriples: Seq[Triple] = {
       val out = scala.collection.mutable.LinkedHashSet[Triple]()
-      for (t <- leafTypes; k <- 0 until nCountries) {
+      def listingBlock(t: String, k: Int): Unit = {
         val ms = members(t, k)
         val known = ms.filter(m => m.startsWith(t + " "))
         val unknowns = ms.filter(_.startsWith("Mystery"))
@@ -281,6 +301,8 @@ object CorpusGen {
         unknowns.foreach(m => out += Triple(newEnt(m), Preds.LocatedIn, c, false))
         noise.foreach(m => out += Triple(m, Preds.LocatedIn, c, false))
       }
+      for (t <- leafTypes; k <- 0 until nCountries) listingBlock(t, k)
+      listingBlock(specialType, 0)
       // mixed listings: type rule blocked (share 1/4), relation rule fires
       // (all 4 linked share locatedIn country k) → the new entity gets a
       // label + locatedIn but NO types.
@@ -305,6 +327,44 @@ object CorpusGen {
         out += Triple(newEnt(m), Preds.Label, m, true)
       }
       out ++= expectedProvenance
+      out ++= expectedOntology
+      out.toSeq
+    }
+
+    /** Ontology-flavor triples (classes, subClassOf, disjointness,
+      * predicate typing, the planted restriction and its derived facts —
+      * ≙ serialize.py:85-146,209-220), computed from the same parameters. */
+    def expectedOntology: Seq[Triple] = {
+      val out = scala.collection.mutable.LinkedHashSet[Triple]()
+      // every non-root node is an owl:Class with a label (root "Thing" is
+      // excluded, include_root=False discipline)
+      parentOf.keySet.toSeq.sorted.foreach { t =>
+        out += Triple(t, Preds.Type, "owl:Class", false)
+        out += Triple(t, Preds.Label, t, true)
+      }
+      parentOf.toSeq.sorted.foreach { case (c, p) =>
+        out += Triple(c, Preds.SubClassOf, p, false)
+      }
+      disjoint.foreach { case (a, b) =>
+        out += Triple(if (a < b) a else b, "owl:disjointWith",
+                      if (a < b) b else a, false)
+      }
+      out += Triple(Preds.LocatedIn, Preds.Type, "owl:ObjectProperty", false)
+      // the planted axiom (specialType, locatedIn, Country 0): its single
+      // restriction definition + subClassOf + the facts on its seed
+      // entities (the mined Mystery entities' facts coincide with the
+      // relation-rule rows already expected)
+      val r = s"RestrictionHasValue_locatedIn_${countryName(0)}"
+      out += Triple(r, Preds.Type, "owl:Restriction", false)
+      out += Triple(r, Preds.Label,
+                    s"Restriction onProperty=locatedIn hasValue=${countryName(0)}",
+                    true)
+      out += Triple(r, "owl:onProperty", Preds.LocatedIn, false)
+      out += Triple(r, "owl:hasValue", countryName(0), false)
+      out += Triple(specialType, Preds.SubClassOf, r, false)
+      (0 until knownPerListing).foreach(j =>
+        out += Triple(entName(specialType, 0, j), Preds.LocatedIn,
+                      countryName(0), false))
       out.toSeq
     }
 
@@ -315,14 +375,16 @@ object CorpusGen {
       def listUrl(kind: String, t: String, k: Int) =
         s"https://example.org/$kind-of-${t.toLowerCase}s-of-country-$k"
       val out = scala.collection.mutable.LinkedHashSet[Triple]()
-      for (t <- leafTypes; k <- 0 until nCountries;
-           kind <- Seq("list", "table")) {
+      def memberProv(t: String, k: Int, kind: String): Unit = {
         val url = listUrl(kind, t, k)
         members(t, k).foreach { m =>
           val ent = if (m.startsWith("Mystery")) newEnt(m) else m
           out += Triple(ent, Preds.WasDerivedFrom, url, false)
         }
       }
+      for (t <- leafTypes; k <- 0 until nCountries;
+           kind <- Seq("list", "table")) memberProv(t, k, kind)
+      for (kind <- Seq("list", "table")) memberProv(specialType, 0, kind)
       for (k <- 0 until nCountries) {
         val url = s"https://example.org/mixed-of-country-$k"
         Seq(entName("Scientist", k, 0), entName("Film", k, 0),
@@ -345,6 +407,9 @@ object CorpusGen {
       for (t <- leafTypes; k <- 0 until nCountries;
            kind <- Seq("list", "table"))
         out += Triple(t, Preds.WasDerivedFrom, listUrl(kind, t, k), false)
+      for (kind <- Seq("list", "table"))
+        out += Triple(specialType, Preds.WasDerivedFrom,
+                      listUrl(kind, specialType, 0), false)
       out += Triple("Scientist", Preds.WasDerivedFrom, adaUrl, false)
       out.toSeq
     }
