@@ -9,7 +9,7 @@ import graft.link.AliasLink
 import graft.canonical.{AlignmentGraph, NilCluster}
 import graft.taxonomy.{Disjointness, RuleMining}
 import graft.emit.TripleEmit
-import graft.runtime.StageRunner
+import graft.runtime.{LoopReport, StageRunner}
 
 /** The end-to-end KG-construction pipeline (north rule): pages → invariant
   * text extraction → listings/mentions → salted alias linking → NIL
@@ -23,6 +23,12 @@ import graft.runtime.StageRunner
   * shuffle rounds) → taxonomy-sized dimension joins (broadcast) → one
   * partitionBy(pred) write. The corpus is shuffled ONCE on url and once per
   * candidate-dedup; everything taxonomy-side is broadcast.
+  *
+  * Every corpus-derived aggregate the emit stages consume (unlinked-label
+  * counts for F9, per-(ent,label) label counts, type/relation candidate
+  * counts, provenance pairs) is checkpointed as a MATERIALIZED VIEW keyed
+  * either by url (carried tables) or by its group key (count tables) — the
+  * shape [[runDelta]] maintains incrementally instead of recomputing.
   */
 object Pipeline {
 
@@ -75,6 +81,12 @@ object Pipeline {
     * threshold 50 there; lower here because the fixture corpus is small). */
   val MaxUnknownLabelFreq = 20
 
+  /** Above this row count a delta key set stops being broadcast-hinted and
+    * the carry joins degrade to AQE-planned shuffle joins (high-churn
+    * re-crawls must not OOM the driver on a forced broadcast — SCALE.md's
+    * url-bucketed shape takes over well before this at real scale). */
+  val MaxBroadcastKeys = 2000000L
+
   /** Run (or resume) the full pipeline; returns the triple table.
     * `canon` picks the canonicalization mode; resume is per-stage by name,
     * so use a FRESH outDir when changing modes (mode-specific stages are
@@ -85,11 +97,13 @@ object Pipeline {
     Normalize.register(spark)
     val runner = new StageRunner(spark, outDir, runId)
 
-    // 0. crawl manifest: the (url, warc_ts) fingerprint of the consumed
-    // crawl slice. A later [[runDelta]] anti-joins its new crawl against
-    // this to find changed/added pages — the capture timestamp is the
-    // change signal, so unchanged pages skip extraction entirely.
+    // 0. crawl manifest: the (url, warc_ts, content_fp) fingerprint of the
+    // consumed crawl slice. A later [[runDelta]] anti-joins its new crawl
+    // against this to find changed/added pages — the content fingerprint
+    // catches a capture rewritten under an unchanged timestamp. Plus the
+    // seeds fingerprint: carried links are only valid under identical seeds.
     runner.run("crawl_manifest") { manifestOf(pages) }
+    runner.run("seeds_fp") { seedsFingerprint(spark, seeds) }
 
     // 1. invariant text extraction (byte-identical per url)
     val pagesText = runner.run("pages_text") { TextExtract.extract(pages) }
@@ -108,35 +122,57 @@ object Pipeline {
     // the new shape (it would silently empty the NIL path).
     val linkedAll = runner.run("linked_all") { AliasLink.linkAll(mentions, dict) }
 
-    // 1b. corpus hypernym mining over page prose (A5/N9 — Hearst patterns)
-    locally {
+    // 1b. corpus hypernym mining over page prose (A5/N9 — Hearst patterns),
+    // checkpointed per url first: the url-keyed table is the materialized
+    // view [[runDelta]] maintains with a url-keyed row drop instead of
+    // re-parsing dropped prose; the global aggregate is its rollup.
+    val hypByUrl = locally {
       val sp = spark
       import sp.implicits._
-      runner.run("hypernyms") {
-        graft.mine.Hearst.corpusCounts(
+      runner.run("hypernyms_by_url") {
+        graft.mine.Hearst.corpusCountsByUrl(
           pagesText.select("url", "text").as[(String, String)])
       }
     }
+    runner.run("hypernyms") {
+      hypByUrl.groupBy("sub", "obj").agg(sum("cnt").as("cnt"))
+    }
 
-    corpusStages(spark, runner, pagesText, linkedAll, dict, seeds, canon)
+    corpusStages(spark, runner, linkedAll, dict, seeds, canon)
   }
 
   /** Incremental run over a RE-CRAWL (the recurring-snapshot shape the
-    * reference handles by full re-extraction per dump): pages whose
-    * (url, warc_ts) capture already appears in `prevDir`'s crawl manifest
-    * carry their extracted text and linked mentions over from the previous
-    * run's checkpoints; only changed/added captures pass through the
-    * per-page prefix (extract → parse → link) — the cost that dominates at
-    * corpus scale. Pages absent from the new crawl drop out (deletions).
-    * Corpus-level stages (hypernyms, F9, canonicalization, mining, triples)
-    * recompute over the merged state — they are aggregation-bound and
-    * cheap relative to parsing, and their semantics are global.
+    * reference handles by full re-extraction per dump): captures whose
+    * (url, warc_ts, content_fp) already appear in `prevDir`'s crawl
+    * manifest carry their extracted text and linked mentions over from the
+    * previous run's checkpoints; only changed/added captures pass through
+    * the per-page prefix (extract → parse → link). Pages absent from the
+    * new crawl drop out (deletions).
     *
-    * Assumes `seeds` are unchanged since the previous run (a dictionary
-    * change invalidates carried links; use [[run]] on a fresh outDir for
-    * that). Output is IDENTICAL to a full [[run]] over the new crawl:
-    * extraction/parsing/linking are deterministic per (url, text), which is
-    * exactly the per-row invariant the north rule pins. */
+    * Downstream, every corpus-level aggregate is delta-MAINTAINED rather
+    * than recomputed ([[Canonicalization.Components]] mode): url-keyed
+    * tables (subjects, subject_listings, type/relation rules, provenance
+    * pairs, per-url hypernym counts) carry all untouched urls and recompute
+    * only the AFFECTED slice — touched urls plus urls whose F9
+    * frequent-label verdict flipped; count-keyed materialized views
+    * (unlinked label counts, label counts, type/relation candidate counts,
+    * hypernym counts) apply the classic maintenance identity
+    * new = prev − contributions(old affected slice) + contributions(new
+    * affected slice), with rows cancelling to 0 dropped. The final emit
+    * stages (types guard, relations anti-join, triple assembly) then run
+    * over CANDIDATE-sized inputs only — no corpus-wide shuffle remains in a
+    * delta run; the corpus is touched only by map-side carries. Output is
+    * IDENTICAL to a full [[run]] over the new crawl (DeltaSpec asserts
+    * exactness, including rules and candidate counts crossing their
+    * thresholds in both directions).
+    *
+    * [[Canonicalization.ScoredEd]] deltas carry the per-page prefix but
+    * recompute the corpus stages: NastyLinker path scores propagate across
+    * urls through shared keys, so a url-sliced recompute is unsound there.
+    *
+    * Seeds must be IDENTICAL to the previous run's (checked against the
+    * recorded seeds fingerprint — a dictionary change invalidates carried
+    * links; use [[run]] on a fresh outDir for that). */
   def runDelta(spark: SparkSession, newPages: DataFrame, seeds: Seeds,
                outDir: String, prevDir: String, runId: String = "delta-1",
                canon: Canonicalization = Canonicalization.Components): DataFrame = {
@@ -147,12 +183,33 @@ object Pipeline {
             "would resume every stage from the previous checkpoints and " +
             "silently ignore the new crawl")
     val runner = new StageRunner(spark, outDir, runId)
-    for (stage <- Seq("crawl_manifest", "pages_text", "linked_all",
-                      "hypernyms"))
+    val prefixStages = Seq("crawl_manifest", "seeds_fp", "pages_text",
+                           "linked_all", "hypernyms_by_url", "hypernyms")
+    val miningStages = Seq("unlinked_label_counts", "subjects",
+                           "subject_listings", "type_rules", "relation_rules",
+                           "label_counts", "type_cand_counts",
+                           "rel_cand_counts", "prov_pairs")
+    val needed = prefixStages ++
+      (if (canon == Canonicalization.Components) miningStages else Nil)
+    for (stage <- needed)
       require(StageRunner.completed(prevDir, stage),
               s"runDelta: $prevDir lacks the '$stage' checkpoint — prevDir " +
-              "must be the outDir of a completed run() or runDelta() " +
-              "(pre-manifest outDirs cannot seed a delta; run full once)")
+              "must be the outDir of a completed run() or runDelta() in a " +
+              "compatible canonicalization mode (pre-manifest or other-mode " +
+              "outDirs cannot seed a delta; run full once)")
+    // seeds contract: the recorded fingerprint must match (carried
+    // pages_text/linked_all rows silently mix stale semantics otherwise)
+    locally {
+      val prevFp = spark.read.parquet(s"$prevDir/seeds_fp")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val curFp = seedsFingerprint(spark, seeds)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(prevFp == curFp,
+              s"runDelta: seed tables differ from prevDir's recorded " +
+              s"fingerprint (prev=$prevFp, current=$curFp) — carried links " +
+              "would be stale; run full on a fresh outDir instead")
+    }
+    runner.run("seeds_fp") { seedsFingerprint(spark, seeds) }
     val prevManifest = spark.read.parquet(s"$prevDir/crawl_manifest")
     val prevText = spark.read.parquet(s"$prevDir/pages_text")
     val prevLinked = spark.read.parquet(s"$prevDir/linked_all")
@@ -163,8 +220,10 @@ object Pipeline {
     // broadcast and every carry below is a broadcast (anti/semi) hash join
     // with the corpus side unshuffled; joining on the 99% unchanged set
     // instead would shuffle the whole corpus twice and cost more than the
-    // full run it replaces (measured — see BENCH/BASELINE.md). At 10^12
-    // docs, where even 1% outgrows a broadcast, the same shape holds with
+    // full run it replaces (measured — see BENCH/BASELINE.md). The
+    // broadcast hint is guarded: above [[MaxBroadcastKeys]] (a high-churn
+    // re-crawl) the hint is dropped and AQE plans the join. At 10^12 docs,
+    // where even 1% outgrows a broadcast, the same shape holds with
     // url-bucketed checkpoint tables (SCALE.md).
     //
     // A url is TOUCHED when its capture set changed in either direction:
@@ -174,22 +233,21 @@ object Pipeline {
     // new crawl still has — so a url that merely LOST one of several
     // captures re-derives from the survivors instead of carrying the
     // deleted capture forward.
-    val changedCaptures = manifest
-      .join(prevManifest, Seq("url", "warc_ts"), "left_anti")
-    val vanishedCaptures = prevManifest
-      .join(manifest, Seq("url", "warc_ts"), "left_anti")
-    val dropUrls = changedCaptures.select("url")
-      .unionByName(vanishedCaptures.select("url"))
-      .distinct()
+    val capKeys = Seq("url", "warc_ts", "content_fp")
+    val changedCaptures = manifest.join(prevManifest, capKeys, "left_anti")
+    val vanishedCaptures = prevManifest.join(manifest, capKeys, "left_anti")
+    val dropUrls = hintSmall(
+      changedCaptures.select("url")
+        .unionByName(vanishedCaptures.select("url"))
+        .distinct().localCheckpoint())
 
     // extract ONLY the touched slice (its own stage: the fresh mentions and
     // the merged text both reuse it without re-extracting)
     val freshText = runner.run("pages_text_fresh") {
-      TextExtract.extract(newPages.join(
-        broadcast(dropUrls), Seq("url"), "left_semi"))
+      TextExtract.extract(newPages.join(dropUrls, Seq("url"), "left_semi"))
     }
     val pagesText = runner.run("pages_text") {
-      prevText.join(broadcast(dropUrls), Seq("url"), "left_anti")
+      prevText.join(dropUrls, Seq("url"), "left_anti")
         .unionByName(freshText)
     }
 
@@ -201,45 +259,97 @@ object Pipeline {
       ListingExtract.mentions(freshText)
     }
     val dict = buildDict(seeds)
+    val linkedFresh = runner.run("linked_fresh") {
+      AliasLink.linkAll(mentions, dict)
+    }
     val linkedAll = runner.run("linked_all") {
-      prevLinked.join(broadcast(dropUrls), Seq("url"), "left_anti")
-        .unionByName(AliasLink.linkAll(mentions, dict))
+      prevLinked.join(dropUrls, Seq("url"), "left_anti")
+        .unionByName(linkedFresh)
     }
 
-    // 1b. hypernym counts, DELTA-MAINTAINED: corpusCounts is an additive
-    // per-page aggregation, so new = prev − counts(dropped old captures) +
-    // counts(fresh captures) — the materialized-view maintenance identity.
-    // A full recompute here scans the whole corpus's prose (it dominated
-    // the measured delta wall); maintenance touches only the ~1% delta.
-    // Pairs whose count cancels to 0 drop out, so the result is EXACTLY the
-    // full-run aggregate (asserted by DeltaSpec).
-    locally {
+    // 1b. hypernym counts: the url-keyed view carries untouched urls and
+    // re-parses ONLY fresh prose; the global aggregate applies the
+    // maintenance identity with the minus side read from the url-keyed
+    // checkpoint — a row drop, NOT a re-parse of dropped prose (so
+    // maintenance cost is 1× the churn, not 2×). Pairs whose count cancels
+    // to 0 drop out, so the result is EXACTLY the full-run aggregate
+    // (asserted by DeltaSpec).
+    val prevHypByUrl = spark.read.parquet(s"$prevDir/hypernyms_by_url")
+    val hypByUrl = locally {
       val sp = spark
       import sp.implicits._
-      val prevHyp = spark.read.parquet(s"$prevDir/hypernyms")
-      runner.run("hypernyms") {
-        val droppedOld = prevText
-          .join(broadcast(dropUrls), Seq("url"), "left_semi")
-        val minus = graft.mine.Hearst.corpusCounts(
-            droppedOld.select("url", "text").as[(String, String)])
-          .withColumn("cnt", -col("cnt"))
-        val plus = graft.mine.Hearst.corpusCounts(
-          freshText.select("url", "text").as[(String, String)])
-        prevHyp.unionByName(plus).unionByName(minus)
-          .groupBy("sub", "obj").agg(sum("cnt").as("cnt"))
-          .filter(col("cnt") > 0)
+      runner.run("hypernyms_by_url") {
+        prevHypByUrl.join(dropUrls, Seq("url"), "left_anti")
+          .unionByName(graft.mine.Hearst.corpusCountsByUrl(
+            freshText.select("url", "text").as[(String, String)]))
       }
     }
+    runner.run("hypernyms") {
+      val prevHyp = spark.read.parquet(s"$prevDir/hypernyms")
+      val minus = prevHypByUrl.join(dropUrls, Seq("url"), "left_semi")
+        .groupBy("sub", "obj").agg(sum("cnt").as("cnt"))
+      val plus = hypByUrl.join(dropUrls, Seq("url"), "left_semi")
+        .groupBy("sub", "obj").agg(sum("cnt").as("cnt"))
+      maintainCounts(prevHyp, minus, plus, Seq("sub", "obj"))
+    }
 
-    corpusStages(spark, runner, pagesText, linkedAll, dict, seeds, canon)
+    canon match {
+      case Canonicalization.Components =>
+        deltaMiningStages(spark, runner, prevDir, dropUrls, linkedAll,
+                          linkedFresh, prevLinked, seeds)
+      case _ =>
+        // ED-mode delta: per-page prefix carried, corpus stages recomputed
+        // (path scores cross urls through shared keys)
+        corpusStages(spark, runner, linkedAll, dict, seeds, canon)
+    }
   }
 
-  /** The change fingerprint of a crawl slice (shared by [[run]] and
-    * [[runDelta]] — both sides of the delta anti-join MUST use the same
-    * expression, or delta detection silently desynchronizes from the
-    * recorded manifest). */
+  /** The change fingerprint of a crawl slice: (url, warc_ts, content_fp)
+    * per capture, content_fp = xxhash64 of the raw bytes — a capture
+    * rewritten under an unchanged timestamp is still detected (shared by
+    * [[run]] and [[runDelta]]; both sides of the delta anti-join MUST use
+    * the same expression). Exact-duplicate capture ROWS (same url, ts, and
+    * bytes) are treated as one capture — multiplicity of byte-identical
+    * rows is degenerate input, not a change signal. */
   private def manifestOf(pages: DataFrame): DataFrame =
-    pages.filter(col("lang") === "en").select("url", "warc_ts")
+    pages.filter(col("lang") === "en")
+      .select(col("url"), col("warc_ts"), xxhash64(col("html")).as("content_fp"))
+
+  /** Order-independent fingerprint of every seed table: bit_xor of per-row
+    * xxhash64, mixed with the row count (commutative, overflow-free,
+    * partitioning-invariant). Recorded at run time; [[runDelta]] refuses to
+    * carry state across a seeds change. */
+  private def seedsFingerprint(spark: SparkSession, seeds: Seeds): DataFrame = {
+    def one(name: String, df: DataFrame): DataFrame =
+      if (df == null)
+        spark.range(1).select(lit(name).as("tbl"), lit(0L).as("fp"))
+      else
+        df.select(xxhash64(df.columns.map(col): _*).as("h"))
+          .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
+               count(lit(1)).as("n"))
+          .select(lit(name).as("tbl"), xxhash64(col("x"), col("n")).as("fp"))
+    one("aliases", seeds.aliases)
+      .unionByName(one("entity_types", seeds.entityTypes))
+      .unionByName(one("taxonomy_edges", seeds.taxonomyEdges))
+      .unionByName(one("disjoint_pairs", seeds.disjointPairs))
+      .unionByName(one("seed_relations", seeds.seedRelations))
+      .unionByName(one("redirects", seeds.redirects))
+  }
+
+  /** Broadcast-hint a delta key set only while it is actually small
+    * (ADVICE r3: an unconditional hint OOMs on high-churn re-crawls);
+    * beyond the threshold AQE plans the join unhinted. The session conf
+    * `graft.delta.maxBroadcastKeys` overrides [[MaxBroadcastKeys]] —
+    * DeltaThresholdSpec pins it to 0 to prove the un-hinted fallback is
+    * result-identical (SCALE.md's high-churn shape). */
+  private def hintSmall(df: DataFrame): DataFrame = {
+    val max = df.sparkSession.conf
+      .get("graft.delta.maxBroadcastKeys", MaxBroadcastKeys.toString).toLong
+    if (max > 0 &&
+        df.limit(math.min(max + 1, Int.MaxValue.toLong).toInt).count() <= max)
+      broadcast(df)
+    else df
+  }
 
   /** Alias dictionary incl. folded spelling redirects (shared by [[run]]
     * and [[runDelta]]). */
@@ -250,56 +360,114 @@ object Pipeline {
     AliasLink.buildDict(aliasTable)
   }
 
-  /** The corpus-level stages downstream of the per-page prefix: hypernym
-    * mining, F9, canonicalization (either mode), rule mining + taxonomy-
-    * guarded type inference, relations, and the pred-partitioned triple
-    * write. Shared verbatim by [[run]] and [[runDelta]] — both feed it the
-    * full-corpus `pagesText` and `linkedAll` checkpoints. */
+  private def fresh(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).as(c)): _*)
+
+  /** The classic materialized-view maintenance identity for an additive
+    * count aggregate: new = prev − minus + plus, groups cancelling to 0
+    * dropped. All three inputs carry (keys..., cnt).
+    *
+    * Shuffle shape: the net delta (minus ∪ plus) aggregates first — a
+    * DELTA-sized shuffle — and the previous view is then carried with
+    * broadcast anti/semi joins on the touched keys; only touched-key rows
+    * ever re-aggregate. A naive prev ∪ plus ∪ minus groupBy would shuffle
+    * the whole view every delta run. */
+  private def maintainCounts(prev: DataFrame, minus: DataFrame,
+                             plus: DataFrame, keys: Seq[String]): DataFrame = {
+    val delta = fresh(plus)
+      .unionByName(fresh(minus).withColumn("cnt", -col("cnt")))
+      .groupBy(keys.map(col): _*).agg(sum("cnt").as("cnt"))
+      .localCheckpoint()
+    val touched = hintSmall(delta.select(keys.map(col): _*))
+    fresh(prev).join(touched, keys, "left_anti")
+      .unionByName(
+        fresh(prev).join(touched, keys, "left_semi")
+          .unionByName(delta)
+          .groupBy(keys.map(col): _*).agg(sum("cnt").as("cnt"))
+          .filter(col("cnt") > 0))
+  }
+
+  // — the mining-aggregate shapes (shared by full run and delta
+  //   maintenance; every delta slice must use the SAME expressions or the
+  //   minus side desynchronizes from the recorded view) —
+
+  private def labelCountsOf(subjects: DataFrame): DataFrame =
+    subjects.groupBy("ent", "label").agg(count(lit(1)).as("cnt"))
+
+  private def typeCandCountsOf(subjListings: DataFrame,
+                               typeRules: DataFrame): DataFrame =
+    subjListings.join(typeRules, Seq("url", "listing_key"))
+      .groupBy("ent", "tpe").agg(count(lit(1)).as("cnt"))
+
+  private def relCandCountsOf(subjListings: DataFrame,
+                              relRules: DataFrame): DataFrame =
+    subjListings.join(relRules, Seq("url", "listing_key"))
+      .groupBy("ent", "pred", "obj").agg(count(lit(1)).as("cnt"))
+
+  private def provPairsOf(subjListings: DataFrame,
+                          typeRules: DataFrame): DataFrame =
+    fresh(subjListings.select("ent", "url"))
+      .unionByName(fresh(typeRules.select(col("tpe").as("ent"), col("url"))))
+      .distinct()
+
+  /** Components-mode subject assembly: linked mentions keep their argmax
+    * entity; kept-NIL mentions take their content-derived cluster id. */
+  private def componentsSubjects(linked: DataFrame, keptUnlinked: DataFrame,
+                                 nilAssign: DataFrame): DataFrame =
+    linked.select("url", "listing_key", "mention_id", "label", "ent")
+      .withColumn("is_new", lit(false))
+      .unionByName(
+        keptUnlinked.join(nilAssign, "mention_id")
+          .select("url", "listing_key", "mention_id", "label", "ent")
+          .withColumn("is_new", lit(true)))
+
+  /** The maintained mining aggregates every emit stage reads. */
+  private case class Mining(typeRules: DataFrame, relationRules: DataFrame,
+                            labelCounts: DataFrame, typeCandCounts: DataFrame,
+                            relCandCounts: DataFrame, provPairs: DataFrame)
+
+  /** The corpus-level stages downstream of the per-page prefix, FULL
+    * recompute: canonicalization (either mode) → mining aggregates → emit.
+    * Used by [[run]] and by ScoredEd-mode [[runDelta]]. */
   private def corpusStages(spark: SparkSession, runner: StageRunner,
-                           pagesText: DataFrame, linkedAll: DataFrame,
-                           dict: DataFrame, seeds: Seeds,
-                           canon: Canonicalization): DataFrame = {
+                           linkedAll: DataFrame, dict: DataFrame,
+                           seeds: Seeds, canon: Canonicalization): DataFrame = {
     val (linked, unlinked) = AliasLink.splitLinked(linkedAll)
 
-    // 3b. F9: drop frequent unknown labels (boilerplate) before clustering
-    val keptUnlinked = runner.run("unlinked_kept") {
-      val frequent = unlinked.groupBy("label")
-        .agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > MaxUnknownLabelFreq)
-        .select("label")
-      unlinked.join(broadcast(frequent), Seq("label"), "left_anti")
+    // 3b. F9: frequent unknown labels (boilerplate) — counted as a
+    // maintained view, filtered before clustering
+    val unlCounts = runner.run("unlinked_label_counts") {
+      unlinked.groupBy("label").agg(count(lit(1)).as("cnt"))
     }
+    val frequent = hintSmall(
+      unlCounts.filter(col("cnt") > MaxUnknownLabelFreq).select("label"))
+    val keptUnlinked = unlinked.join(frequent, Seq("label"), "left_anti")
 
     // 4 + 5. canonicalization → subject-entity table (known + new)
-    def fresh(df: DataFrame): DataFrame =
-      df.select(df.columns.map(c => col(c).as(c)): _*)
     val subjects = canon match {
       case Canonicalization.Components =>
         // 4a. NIL canonicalization via connected components
-        val nilAssign = runner.run("nil_entities") {
-          NilCluster.cluster(keptUnlinked)
+        val nilRep = new LoopReport
+        val nilAssign = runner.run("nil_entities", report = nilRep) {
+          NilCluster.cluster(keptUnlinked, nilRep)
         }
         runner.run("subjects") {
-          linked.select("url", "listing_key", "mention_id", "label", "ent")
-            .withColumn("is_new", lit(false))
-            .unionByName(
-              keptUnlinked.join(nilAssign, "mention_id")
-                .select("url", "listing_key", "mention_id", "label", "ent")
-                .withColumn("is_new", lit(true)))
+          componentsSubjects(linked, keptUnlinked, nilAssign)
         }
       case Canonicalization.ScoredEd(meT, mmT, pathT, meScore, scoreFn) =>
         // 4b. scored ED over ALL kept mentions: alignment graph (full
         // candidate dictionary, not the argmax-reduced one) → NastyLinker.
         // ONE corpus-side pass builds the graph; the split decides linked
         // vs NIL, overriding the prior-argmax join above.
-        runner.run("subjects_ed") {
+        val edRep = new LoopReport
+        runner.run("subjects_ed", report = edRep) {
           val keptAll = fresh(linked)
             .unionByName(fresh(keptUnlinked)
               .withColumn("ent", lit(null).cast("string")))
           val assign = AlignmentGraph.disambiguateScored(
             keptAll.select("mention_id", "label"), dict,
             scoreFn.getOrElse(cand => cand.withColumn("score", meScore)),
-            meT, mmT, pathT)
+            meT, mmT, pathT, report = edRep)
           keptAll.drop("ent")
             .join(assign.select(col("mention_id"),
                                 col("ent").as("ed_ent")), "mention_id")
@@ -311,26 +479,169 @@ object Pipeline {
         }
     }
 
-    // 6. rule mining + taxonomy-aware type inference
-    val seedTypes = seeds.entityTypes.select(col("ent"), col("tpe"))
-    val closureSelf = Disjointness.closureWithSelf(seeds.taxonomyEdges)
-
+    // 6a. mining aggregates (url-keyed tables + count views) — the
+    // checkpointed materialized views a later delta maintains.
     // the distinct (url, listing_key, ent) projection feeds FIVE consumers
-    // (both rule miners, both assertion joins, provenance) — checkpoint it
+    // (both rule miners, both candidate counts, provenance) — checkpoint it
     // once instead of paying the corpus-wide distinct shuffle per consumer
+    val seedTypes = seeds.entityTypes.select(col("ent"), col("tpe"))
     val subjectListings = runner.run("subject_listings") {
       subjects.select("url", "listing_key", "ent").distinct()
     }
-
-    // type rules get their own stage: downstream they feed BOTH the typed
-    // assertions and the ontology-class provenance
-    val listingTypes = runner.run("type_rules") {
+    val typeRules = runner.run("type_rules") {
       RuleMining.listingTypeRules(subjectListings, seedTypes)
     }
-    val types = runner.run("types") {
-      val cand = subjectListings
-        .join(listingTypes, Seq("url", "listing_key"))
-        .select("ent", "tpe").distinct()
+    val relationRules = runner.run("relation_rules") {
+      RuleMining.listingRelationRules(subjectListings, seeds.seedRelations)
+    }
+    val labelCounts = runner.run("label_counts") { labelCountsOf(subjects) }
+    val typeCandCounts = runner.run("type_cand_counts") {
+      typeCandCountsOf(subjectListings, typeRules)
+    }
+    val relCandCounts = runner.run("rel_cand_counts") {
+      relCandCountsOf(subjectListings, relationRules)
+    }
+    val provPairs = runner.run("prov_pairs") {
+      provPairsOf(subjectListings, typeRules)
+    }
+    emitStages(spark, runner,
+               Mining(typeRules, relationRules, labelCounts, typeCandCounts,
+                      relCandCounts, provPairs), seeds)
+  }
+
+  /** Components-mode DELTA maintenance of the mining aggregates: carried
+    * url-keyed tables + incrementally maintained count views (see
+    * [[runDelta]] scaladoc for the identity). The affected-url set is the
+    * touched urls PLUS every url holding an unlinked mention whose F9
+    * frequent-label verdict flipped — a label crossing the boilerplate
+    * threshold changes subjects on urls the crawl never touched.
+    *
+    * Soundness of url-sliced recompute: NIL ids are content-derived and
+    * page-local ([[NilCluster.cluster]]), listing rules are per
+    * (url, listing_key) aggregates, and the count views are additive over
+    * url contributions — so slice ∪ carry ≡ full recompute exactly. */
+  private def deltaMiningStages(spark: SparkSession, runner: StageRunner,
+                                prevDir: String, dropUrls: DataFrame,
+                                linkedAll: DataFrame, linkedFresh: DataFrame,
+                                prevLinked: DataFrame,
+                                seeds: Seeds): DataFrame = {
+    def prev(stage: String): DataFrame =
+      spark.read.parquet(s"$prevDir/$stage")
+    val prevUnlCounts = prev("unlinked_label_counts")
+
+    // F9 counts maintenance: minus = dropped urls' unlinked labels (from
+    // the carried linked_all view), plus = fresh slice's unlinked labels
+    val unlCounts = runner.run("unlinked_label_counts") {
+      val minus = prevLinked.filter(col("ent").isNull)
+        .join(dropUrls, Seq("url"), "left_semi")
+        .groupBy("label").agg(count(lit(1)).as("cnt"))
+      val plus = linkedFresh.filter(col("ent").isNull)
+        .groupBy("label").agg(count(lit(1)).as("cnt"))
+      maintainCounts(prevUnlCounts, minus, plus, Seq("label"))
+    }
+    val frequentNew = unlCounts.filter(col("cnt") > MaxUnknownLabelFreq)
+      .select("label")
+    val frequentPrev = prevUnlCounts.filter(col("cnt") > MaxUnknownLabelFreq)
+      .select("label")
+    // labels whose frequent-verdict flipped in either direction: symmetric
+    // difference (each side is a distinct set → union groups of size 1)
+    val flipped = fresh(frequentNew).unionByName(fresh(frequentPrev))
+      .groupBy("label").agg(count(lit(1)).as("c"))
+      .filter(col("c") === 1).select("label")
+      .localCheckpoint()
+    val affectedUrls = hintSmall(
+      (if (flipped.isEmpty) dropUrls
+       else dropUrls.unionByName(
+         linkedAll.filter(col("ent").isNull)
+           .join(hintSmall(flipped), Seq("label"), "left_semi")
+           .select("url"))
+         .distinct())
+        .localCheckpoint())
+
+    // subjects: carry untouched urls; recompute the affected slice with the
+    // SAME expressions as the full run (NIL ids are page-local — see
+    // NilCluster scaladoc — so the slice clusters identically)
+    val (linkedA, unlinkedA) =
+      AliasLink.splitLinked(linkedAll.join(affectedUrls, Seq("url"), "left_semi"))
+    val keptUnlinkedA = unlinkedA
+      .join(hintSmall(fresh(frequentNew)), Seq("label"), "left_anti")
+    val nilRep = new LoopReport
+    val nilAssignA = runner.run("nil_entities_fresh", report = nilRep) {
+      NilCluster.cluster(keptUnlinkedA, nilRep)
+    }
+    val prevSubjects = prev("subjects")
+    val subjects = runner.run("subjects") {
+      prevSubjects.join(affectedUrls, Seq("url"), "left_anti")
+        .unionByName(componentsSubjects(linkedA, keptUnlinkedA, nilAssignA))
+    }
+    // affected slices re-read from the fresh checkpoints (cheap url-keyed
+    // scans), so downstream maintenance never re-executes the slice plans
+    val subjectsA = subjects.join(affectedUrls, Seq("url"), "left_semi")
+    val prevSubjectsA = prevSubjects.join(affectedUrls, Seq("url"), "left_semi")
+
+    val labelCounts = runner.run("label_counts") {
+      maintainCounts(prev("label_counts"), labelCountsOf(prevSubjectsA),
+                     labelCountsOf(subjectsA), Seq("ent", "label"))
+    }
+
+    val prevSubjList = prev("subject_listings")
+    val subjectListings = runner.run("subject_listings") {
+      prevSubjList.join(affectedUrls, Seq("url"), "left_anti")
+        .unionByName(subjectsA.select("url", "listing_key", "ent").distinct())
+    }
+    val subjListA = subjectListings.join(affectedUrls, Seq("url"), "left_semi")
+    val prevSubjListA = prevSubjList.join(affectedUrls, Seq("url"), "left_semi")
+
+    val seedTypes = seeds.entityTypes.select(col("ent"), col("tpe"))
+    val prevTypeRules = prev("type_rules")
+    val typeRules = runner.run("type_rules") {
+      prevTypeRules.join(affectedUrls, Seq("url"), "left_anti")
+        .unionByName(RuleMining.listingTypeRules(subjListA, seedTypes))
+    }
+    val prevRelRules = prev("relation_rules")
+    val relationRules = runner.run("relation_rules") {
+      prevRelRules.join(affectedUrls, Seq("url"), "left_anti")
+        .unionByName(
+          RuleMining.listingRelationRules(subjListA, seeds.seedRelations))
+    }
+    val typeRulesA = typeRules.join(affectedUrls, Seq("url"), "left_semi")
+    val prevTypeRulesA = prevTypeRules.join(affectedUrls, Seq("url"), "left_semi")
+    val relRulesA = relationRules.join(affectedUrls, Seq("url"), "left_semi")
+    val prevRelRulesA = prevRelRules.join(affectedUrls, Seq("url"), "left_semi")
+
+    val typeCandCounts = runner.run("type_cand_counts") {
+      maintainCounts(prev("type_cand_counts"),
+                     typeCandCountsOf(prevSubjListA, prevTypeRulesA),
+                     typeCandCountsOf(subjListA, typeRulesA),
+                     Seq("ent", "tpe"))
+    }
+    val relCandCounts = runner.run("rel_cand_counts") {
+      maintainCounts(prev("rel_cand_counts"),
+                     relCandCountsOf(prevSubjListA, prevRelRulesA),
+                     relCandCountsOf(subjListA, relRulesA),
+                     Seq("ent", "pred", "obj"))
+    }
+    val provPairs = runner.run("prov_pairs") {
+      prev("prov_pairs").join(affectedUrls, Seq("url"), "left_anti")
+        .unionByName(provPairsOf(subjListA, typeRulesA))
+    }
+    emitStages(spark, runner,
+               Mining(typeRules, relationRules, labelCounts, typeCandCounts,
+                      relCandCounts, provPairs), seeds)
+  }
+
+  /** The emit stages: disjointness-guarded transitive typing, new-relation
+    * anti-join, and the pred-partitioned triple write — all reading
+    * CANDIDATE-sized maintained aggregates (never the corpus). Shared
+    * verbatim by full and delta runs. */
+  private def emitStages(spark: SparkSession, runner: StageRunner,
+                         m: Mining, seeds: Seeds): DataFrame = {
+    val seedTypes = seeds.entityTypes.select(col("ent"), col("tpe"))
+    val closRep = new LoopReport
+    val closureSelf = Disjointness.closureWithSelf(seeds.taxonomyEdges, closRep)
+
+    val types = runner.run("types", report = closRep) {
+      val cand = m.typeCandCounts.select("ent", "tpe")
         .join(seedTypes, Seq("ent", "tpe"), "left_anti") // J8: drop existing
       val guarded = Disjointness.filterCandidates(
         cand, seedTypes, closureSelf, seeds.disjointPairs)
@@ -342,14 +653,21 @@ object Pipeline {
     }
 
     val relations = runner.run("relations") {
-      val listingRels = RuleMining.listingRelationRules(subjectListings,
-                                                        seeds.seedRelations)
-      subjectListings
-        .join(listingRels, Seq("url", "listing_key"))
-        .select("ent", "pred", "obj").distinct()
+      m.relCandCounts.select("ent", "pred", "obj")
         .join(seeds.seedRelations
                 .select(col("sub").as("ent"), col("pred"), col("obj")),
               Seq("ent", "pred", "obj"), "left_anti") // J7: only NEW relations
+    }
+
+    // 6b. type-level axioms (Cat2Ax discipline over the listing rules) and
+    // the instance facts they imply — both LISTING/candidate-sized, never
+    // corpus-sized (Axioms scaladoc).
+    val axioms = runner.run("axioms") {
+      graft.taxonomy.Axioms.typeAxioms(m.typeRules, m.relationRules)
+    }
+    val restrictionFacts = runner.run("restriction_facts") {
+      val allTypes = fresh(seedTypes).unionByName(types.select("ent", "tpe"))
+      graft.taxonomy.Axioms.axiomFacts(axioms, allTypes, closureSelf)
     }
 
     // 7. triples, partitioned by predicate. Provenance (both reference
@@ -357,18 +675,34 @@ object Pipeline {
     // mentioning it (serialize.py:231-239); ONTOLOGY-CLASS — every mined
     // type wasDerivedFrom the listings whose rule asserted it
     // (serialize.py:158-164, classes ← their associated source pages).
-    runner.runPartitioned("triples", "pred") {
-      // (ent, url) provenance pairs come from the deduplicated listing
-      // projection — same set as distinct-ing mention-level subjects,
-      // minus the corpus-wide shuffle over the wider table
-      val provenance = fresh(subjectListings.select("ent", "url").distinct())
-        .unionByName(fresh(listingTypes
-          .select(col("tpe").as("ent"), col("url")).distinct()))
-      TripleEmit.assemble(
-        labels = subjects.select("ent", "label"),
+    // Ontology flavors (serialize.py:85-146,209-220): class hierarchy +
+    // labels + disjointness, predicate typing, hasValue restrictions, and
+    // restriction-derived facts — all from tables the engine already holds.
+    val trip = runner.runPartitioned("triples", "pred") {
+      TripleEmit.assembleFromCounts(
+        labelCounts = m.labelCounts,
         types = types,
         rels = relations,
-        provenance = provenance)
+        provenance = m.provPairs,
+        extra = Seq(
+          TripleEmit.ontologyClassTriples(seeds.taxonomyEdges,
+                                          seeds.disjointPairs),
+          TripleEmit.ontologyPredicateTriples(
+            seeds.seedRelations.select("pred")),
+          TripleEmit.restrictionTriples(axioms),
+          TripleEmit.relationTriples(restrictionFacts)))
     }
+
+    // 7b. void metadata (serialize.py:55-83) — three candidate-sized aggs,
+    // its own table like the reference's separate metadata file
+    runner.run("ontology_meta") {
+      val nEnt = m.labelCounts.select("ent").distinct().count()
+      val nCls = seeds.taxonomyEdges.select(col("child").as("t"))
+        .unionByName(seeds.taxonomyEdges.select(col("parent").as("t")))
+        .distinct().count()
+      val nPred = seeds.seedRelations.select("pred").distinct().count()
+      TripleEmit.metadataTriples(spark, nEnt, nCls, nPred)
+    }
+    trip
   }
 }

@@ -58,6 +58,18 @@ object Hearst {
       .groupBy("sub", "obj").agg(count(lit(1)).as("cnt"))
   }
 
+  /** (url, text) → per-url hypernym pair counts (url, sub, obj, cnt) — the
+    * url-keyed form [[graft.Pipeline.runDelta]] checkpoints so the
+    * minus-side of hypernym maintenance is a url-keyed row drop instead of
+    * a re-parse of dropped prose (the global [[corpusCounts]] aggregate is
+    * its groupBy(sub, obj) sum). */
+  def corpusCountsByUrl(texts: Dataset[(String, String)]): DataFrame = {
+    import texts.sparkSession.implicits._
+    texts.flatMap { case (url, t) => matchText(t).map(h => (url, h.sub, h.obj)) }
+      .toDF("url", "sub", "obj")
+      .groupBy("url", "sub", "obj").agg(count(lit(1)).as("cnt"))
+  }
+
   /** A4: type lexicalisation scores — per surface word, the normalized
     * distribution over hypernym types it evidences, with a minimum floor
     * for exact-label matches (≙ `/root/reference/impl/category/cat2ax.py:164-182`).

@@ -1,13 +1,16 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-/** args: pagesPath [mode] — mode "cc" (default), "ed" (ScoredEd), or
-  * "delta" (full run, then an incremental run over a re-crawl with ~1% of
-  * pages modified — measures the delta-refresh bill vs the full bill). */
+/** args: pagesPath [mode] [churnPct] — mode "cc" (default), "ed"
+  * (ScoredEd), or "delta" (full run, then an incremental run over a
+  * re-crawl with ~churnPct% of pages modified, default 1 — measures the
+  * delta-refresh bill vs the full bill; 10 evidences the 1×-churn
+  * maintenance cost at high churn). */
 object PipelineSoak {
   def main(args: Array[String]): Unit = {
     val pagesPath = args(0)
     val mode = if (args.length > 1) args(1) else "cc"
+    val churnPct = if (args.length > 2) args(2).toInt else 1
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -29,10 +32,10 @@ object PipelineSoak {
     println(s"SOAK mode=$mode pages=$n triples=$nt sec=$sec " +
             s"pages_per_s=${n/sec} triples_per_s=${nt/sec}")
     if (mode == "delta") {
-      // re-crawl: ~1% of pages get a new capture (bumped warc_ts, body
-      // appended — changes text, not the mention set, so triples and the
-      // correctness baseline are unchanged)
-      val changed = pmod(xxhash64(col("url")), lit(100)) === 0
+      // re-crawl: ~churnPct% of pages get a new capture (bumped warc_ts,
+      // body appended — changes text, not the mention set, so triples and
+      // the correctness baseline are unchanged)
+      val changed = pmod(xxhash64(col("url")), lit(100)) < churnPct
       val v2 = pages
         .withColumn("warc_ts",
           when(changed, col("warc_ts") + expr("INTERVAL 1 HOUR"))
@@ -48,7 +51,8 @@ object PipelineSoak {
       val deltaTriples = graft.Pipeline.runDelta(spark, v2, seeds, outD, out)
       val ntD = deltaTriples.count()
       val secD = (System.nanoTime() - tD) / 1e9
-      println(s"SOAK mode=delta pages=$n changed=$nChanged triples=$ntD " +
+      println(s"SOAK mode=delta churn_pct=$churnPct pages=$n " +
+              s"changed=$nChanged triples=$ntD " +
               s"sec=$secD pages_per_s=${n/secD} full_sec=$sec " +
               s"speedup=${sec/secD}")
     }
