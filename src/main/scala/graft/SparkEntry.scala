@@ -41,6 +41,8 @@ object SparkEntry {
     "a15_property_freq"     -> (MiningQueries.propertyFreqSubtree _),
     "a11_disjointness"      -> (MiningQueries.disjointnessCosine _),
     "cat2ax_pattern_probe"  -> (MiningQueries.cat2axPatternProbe _),
+    "a9_valid_tags"         -> (MiningQueries.validTags _),
+    "ontology_axiom_facts"  -> (KgQueries.axiomFactsQuery _),
     "f7_table_grid"         -> (MiningQueries.f7TableGrid _),
     "u2_set_difference"     -> (Relational.setDifference _),
     "g2_type_closure"       -> (Relational.typeClosure _),
@@ -66,12 +68,7 @@ object SparkEntry {
     "text_token_count"        -> (TextOps.tokenCount _),
     "text_fingerprint"        -> (TextOps.fingerprint _),
     "text_repetition"         -> (TextOps.repetition _),
-    "mm_decode_meta" -> ((s, d) => graft.multimodal.MediaDecoder
-      .decodeMetaColumns(graft.core.Tables.documents(s, d).select(
-        org.apache.spark.sql.functions.col("doc_id"),
-        org.apache.spark.sql.functions.to_binary(
-          org.apache.spark.sql.functions.col("text"),
-          org.apache.spark.sql.functions.lit("utf-8")).as("content")))),
+    "mm_decode_meta" -> (graft.multimodal.MultimodalQueries.decodeMeta _),
     "stream_window_counts" -> ((s, d) =>
       graft.streaming.Streams.windowedCounts(graft.core.Tables.events(s, d))),
     "stream_sessionize" -> ((s, d) =>
@@ -85,6 +82,7 @@ object SparkEntry {
     // — KG-construction stages over documents-as-pages —
     "kg_extract_invariant"    -> (KgQueries.extractInvariant _),
     "kg_triples"              -> (KgQueries.triples _),
+    "kg_delta_identity"       -> (KgQueries.deltaIdentity _),
     "ed_alignment_edges"      -> (KgQueries.alignmentEdges _),
   )
 
@@ -215,6 +213,8 @@ object SparkEntry {
     "a15_property_freq"      -> MiningQueries.propertyFreqSubtreeSql,
     "a11_disjointness"       -> MiningQueries.disjointnessCosineSql,
     "cat2ax_pattern_probe"   -> MiningQueries.cat2axPatternProbeSql,
+    "a9_valid_tags"          -> MiningQueries.validTagsSql,
+    "ontology_axiom_facts"   -> KgQueries.axiomFactsOracle,
     "f7_table_grid"          -> MiningQueries.f7TableGridSql,
     "dedup_exact"            -> Dedup.exactDedupSql,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccardSql,
@@ -234,15 +234,7 @@ object SparkEntry {
     "text_token_count"       -> TextOps.tokenCountSql,
     "text_fingerprint"       -> TextOps.fingerprintSql,
     "text_repetition"        -> TextOps.repetitionSql,
-    "mm_decode_meta" ->
-      """SELECT doc_id,
-         CASE WHEN octet_length(encode(text))%3=0 THEN 'png'
-              WHEN octet_length(encode(text))%3=1 THEN 'jpg'
-              ELSE 'webp' END AS fmt,
-         CAST(octet_length(encode(text))%640+16 AS INT) AS width,
-         CAST((octet_length(encode(text))*7)%480+16 AS INT) AS height,
-         CAST(octet_length(encode(text))%10+1 AS INT) AS n_frames
-         FROM documents""",
+    "mm_decode_meta" -> graft.multimodal.MultimodalQueries.decodeMetaSql,
     "stream_window_counts"   -> graft.streaming.Streams.windowedCountsSql,
     "stream_sessionize"      -> graft.streaming.Streams.sessionizeSql,
     "stream_dedup"           -> graft.streaming.Streams.dedupBatchSql,
@@ -250,6 +242,7 @@ object SparkEntry {
     "j9_bm25_topk"           -> graft.link.Bm25.topKSql,
     "kg_extract_invariant"   -> KgQueries.extractInvariantOracle,
     "kg_triples"             -> KgQueries.triplesOracle,
+    "kg_delta_identity"      -> KgQueries.deltaIdentityOracle,
     "ed_alignment_edges"     -> KgQueries.alignmentEdgesOracle,
   )
 }

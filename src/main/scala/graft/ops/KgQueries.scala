@@ -93,6 +93,101 @@ object KgQueries {
       .select(col("src"), col("dst"), round(col("weight"), 6).as("weight"))
   }
 
+  /** Restriction derivation as a driver oracle row (r3 VERDICT ask #4):
+    * axiom-derived instance facts = axioms × taxonomy closure × entity
+    * types ([[graft.taxonomy.Axioms.axiomFacts]], ≙ get_axiom_properties →
+    * `serialize.py:209-220`). Taxonomy = nation→region; entities =
+    * customers typed by their nation; axioms attach at BOTH levels (two on
+    * region ancestors — exercising closure inheritance — one directly on a
+    * nation). */
+  def axiomFactsQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.nation(s, d).select(
+      concat(lit("n"), col("n_nationkey")).as("child"),
+      concat(lit("r"), col("n_regionkey")).as("parent"))
+    val closure = graft.taxonomy.Disjointness.closureWithSelf(edges)
+    val entTypes = Tables.customer(s, d).select(
+      concat(lit("c"), col("c_custkey")).as("ent"),
+      concat(lit("n"), col("c_nationkey")).as("tpe"))
+    val axioms = Seq(("r0", "clg:inZone", "zone0"),
+                     ("r1", "clg:inZone", "zone1"),
+                     ("n3", "clg:flag", "f3")).toDF("tpe", "pred", "obj")
+    graft.taxonomy.Axioms.axiomFacts(axioms, entTypes, closure)
+  }
+
+  val axiomFactsOracle: String =
+    """WITH et AS (SELECT 'c'||c_custkey AS ent, c_nationkey AS nk
+                   FROM customer),
+       ax(tpe,pred,obj) AS (VALUES ('r0','clg:inZone','zone0'),
+                                   ('r1','clg:inZone','zone1'),
+                                   ('n3','clg:flag','f3')),
+       anc AS (SELECT ent, 'n'||nk AS anc FROM et
+               UNION
+               SELECT ent, 'r'||n.n_regionkey FROM et
+               JOIN nation n ON et.nk=n.n_nationkey)
+       SELECT DISTINCT ent, pred, obj FROM anc JOIN ax ON anc.anc=ax.tpe"""
+
+  /** The DELTA-IDENTITY gate as a driver oracle row (r3 VERDICT ask #3):
+    * full run over crawl v1 → [[graft.Pipeline.runDelta]] to crawl v2 →
+    * fresh full run over v2; returns one row (delta_cnt, diff_cnt,
+    * full_cnt) where diff_cnt is the SYMMETRIC triple-set difference
+    * between the delta and the fresh full run (must be 0), and both counts
+    * must equal the corpus's expected triple count by construction
+    * (the oracle embeds that constant — the deterministic
+    * [[graft.testkit.CorpusGen]] world makes it computable). The v1→v2
+    * mutation exercises all four delta classes at once: a page ADDED, a
+    * page MODIFIED (new capture, different body), a page DELETED, and a
+    * capture-level deletion (a url losing one of two captures). */
+  def deltaIdentity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import java.sql.Timestamp
+    graft.core.Normalize.register(s)
+    val world = deltaIdentityWorld
+    val seeds = world.seeds(s)
+    val v2 = world.pages
+    val addedUrl = v2.find(_.url.contains("table-of-scientists")).get.url
+    val modifiedUrl = v2.find(_.url.contains("list-of-artists")).get.url
+    val staleBody = (Seq("== Old items ==") ++
+      (0 until 4).map(j => s"* [[Stale Item $j]] — superseded.")).mkString("\n")
+    val ghostBody = (Seq("A ghost is a spook.", "== Ghosts ==") ++
+      (0 until 4).map(j => s"* [[Ghost Row $j]] — removed.")).mkString("\n")
+    val deleted = graft.core.Schemas.Page(
+      "https://example.org/deleted-page", new Timestamp(1500000000000L),
+      world.htmlFor(ghostBody), ghostBody, "en")
+    val host = v2.find(_.url.contains("list-of-books")).get
+    val extraCap = host.copy(
+      warc_ts = new Timestamp(host.warc_ts.getTime + 123456L),
+      html = world.htmlFor(staleBody), text = staleBody)
+    val v1 = v2.filterNot(_.url == addedUrl).map { p =>
+      if (p.url == modifiedUrl)
+        p.copy(warc_ts = new Timestamp(p.warc_ts.getTime - 999999L),
+               html = world.htmlFor(staleBody), text = staleBody)
+      else p
+    } ++ Seq(deleted, extraCap)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-delta-id").toString
+    graft.Pipeline.run(s, v1.toDS().toDF(), seeds, s"$base/prev")
+    val delta = graft.Pipeline.runDelta(s, v2.toDS().toDF(), seeds,
+                                        s"$base/out", s"$base/prev")
+    val full = graft.Pipeline.run(s, v2.toDS().toDF(), seeds, s"$base/full")
+    val cols = Seq("subj", "pred", "obj", "is_literal")
+    val diff = delta.join(full, cols, "left_anti").count() +
+      full.join(delta, cols, "left_anti").count()
+    Seq((delta.count(), diff, full.count()))
+      .toDF("delta_cnt", "diff_cnt", "full_cnt")
+  }
+
+  private def deltaIdentityWorld =
+    // nCountries=3 keeps the boilerplate label above the F9 threshold
+    // (24 listing pages > MaxUnknownLabelFreq) so expectedTriples holds
+    graft.testkit.CorpusGen.World(nCountries = 3, knownPerListing = 4)
+
+  def deltaIdentityOracle: String = {
+    val n = deltaIdentityWorld.expectedTriples.size
+    s"""SELECT CAST($n AS BIGINT) AS delta_cnt, CAST(0 AS BIGINT) AS diff_cnt,
+        CAST($n AS BIGINT) AS full_cnt"""
+  }
+
   val alignmentEdgesOracle: String =
     """WITH m AS (SELECT 'm'||p_partkey AS mention_id,
                   'Widget '||(p_partkey % 300) AS label FROM part),

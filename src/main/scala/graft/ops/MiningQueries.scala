@@ -18,6 +18,65 @@ import graft.taxonomy.{Induction, PropertyFrequencies}
   */
 object MiningQueries {
 
+  // — A9: valid NE tags per type with parent inheritance (ValidTags) —
+
+  /** Fixture over lineitem: mentions = one row per line item (entity =
+    * its order, tag = g(linenumber % 3) — TPC-H's 1..7 line numbers make
+    * g1 ≈ 12/28 the only ≥0.35 tag with ~0.07 margins on both sides);
+    * entity types = leaf t(orderkey % 6) + parent p(leaf / 2); the
+    * taxonomy adds an ENTITY-FREE leaf t6 under p2 that must INHERIT p2's
+    * valid tags, and a root that (having no parents) stays tag-free. */
+  def validTags(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val mentions = li.select(
+      concat(lit("o"), col("l_orderkey")).as("ent"),
+      concat(lit("g"), col("l_linenumber") % 3).as("tag"))
+    val entBase = li.select(col("l_orderkey").as("okey"),
+                            (col("l_orderkey") % 6).as("lf")).distinct()
+    val entTypes = entBase.select(
+        concat(lit("o"), col("okey")).as("ent"),
+        concat(lit("t"), col("lf")).as("tpe"))
+      .unionByName(entBase.select(
+        concat(lit("o"), col("okey")).as("ent"),
+        concat(lit("p"), (col("lf") / 2).cast("int")).as("tpe")))
+      .distinct()
+    val edges = Seq("t0" -> "p0", "t1" -> "p0", "t2" -> "p1", "t3" -> "p1",
+                    "t4" -> "p2", "t5" -> "p2", "t6" -> "p2",
+                    "p0" -> "root", "p1" -> "root", "p2" -> "root")
+      .toDF("child", "parent")
+    graft.taxonomy.ValidTags.validTags(mentions, entTypes, edges,
+                                       threshold = 0.35)
+  }
+
+  val validTagsSql: String =
+    """WITH m AS (SELECT 'o'||l_orderkey AS ent, 'g'||(l_linenumber%3) AS tag,
+                         l_orderkey%6 AS lf FROM lineitem),
+       et AS (SELECT DISTINCT ent, 't'||lf AS tpe FROM m
+              UNION SELECT DISTINCT ent,
+                    'p'||CAST(FLOOR(lf/2.0) AS INT) FROM m),
+       j AS (SELECT et.tpe, m.tag FROM et JOIN m USING (ent)),
+       tot AS (SELECT tpe, count(*) AS total FROM j GROUP BY 1),
+       cnts AS (SELECT tpe, tag, count(*) AS cnt FROM j GROUP BY 1,2),
+       direct AS (SELECT c.tpe, c.tag FROM cnts c JOIN tot USING (tpe)
+                  WHERE cnt*1.0/total >= 0.35),
+       edges(child,parent) AS (VALUES ('t0','p0'),('t1','p0'),('t2','p1'),
+         ('t3','p1'),('t4','p2'),('t5','p2'),('t6','p2'),
+         ('p0','root'),('p1','root'),('p2','root')),
+       nodirect AS (SELECT child AS tpe FROM edges
+                    WHERE child NOT IN (SELECT tpe FROM direct)
+                    UNION SELECT parent FROM edges
+                    WHERE parent NOT IN (SELECT tpe FROM direct)),
+       inh1 AS (SELECT e.child AS tpe, d.tag FROM edges e
+                JOIN direct d ON d.tpe=e.parent
+                WHERE e.child IN (SELECT tpe FROM nodirect)),
+       inh2 AS (SELECT e.child AS tpe, x.tag FROM edges e
+                JOIN inh1 x ON x.tpe=e.parent
+                WHERE e.child IN (SELECT tpe FROM nodirect))
+       SELECT DISTINCT tpe, tag FROM
+         (SELECT * FROM direct UNION ALL SELECT * FROM inh1
+          UNION ALL SELECT * FROM inh2)"""
+
   // — A3: zero-padded median via Cat2Ax.setMedians —
 
   /** Category sets = regions (members: nations); member value frequencies =

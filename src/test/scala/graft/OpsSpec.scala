@@ -81,22 +81,67 @@ class OpsSpec extends SparkSuite {
     assert(out.isEmpty, "capped degenerate bucket must yield no candidate pairs")
   }
 
-  test("multimodal: mapPartitions decode == pure-Column decode") {
-    val docs = graft.core.Tables.documents(spark, sf)
+  test("multimodal: real header parse round-trips generator metadata") {
+    import graft.multimodal.{MediaFixtures => F}
+    for ((w, h) <- Seq((1, 1), (16, 495), (655, 16), (320, 240))) {
+      assert(MediaDecoder.decodeHeader(F.png(w, h)) ==
+        MediaDecoder.MediaMeta("png", w, h, 1))
+      assert(MediaDecoder.decodeHeader(F.jpeg(w, h)) ==
+        MediaDecoder.MediaMeta("jpg", w, h, 1))
+      for (n <- Seq(1, 6, 10))
+        assert(MediaDecoder.decodeHeader(F.gif(w, h, n)) ==
+          MediaDecoder.MediaMeta("gif", w, h, n))
+    }
+    // non-media payloads degrade to "bin", never throw
+    assert(MediaDecoder.decodeHeader(Array[Byte]()).fmt == "bin")
+    assert(MediaDecoder.decodeHeader("just text".getBytes).fmt == "bin")
+    assert(MediaDecoder.decodeHeader(Array.fill[Byte](64)(0x2C)).fmt == "bin")
+  }
+
+  test("multimodal: parser handles structures the generator never emits") {
+    // hand-built PNG (independent bytes — a generator/parser co-bug would
+    // round-trip): 2x3, exact IHDR layout
+    val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0, 2, 0, 0, 0, 3, 8, 6, 0, 0, 0, 0, 0, 0, 0).map(_.toByte)
+    assert(MediaDecoder.decodeHeader(png) ==
+      MediaDecoder.MediaMeta("png", 2, 3, 1))
+    // JPEG with a padded fill byte before the SOF2 (progressive) marker
+    val jpg = Array(0xFF, 0xD8, 0xFF, 0xDB, 0x00, 0x04, 1, 2,
+      0xFF, 0xFF, 0xC2, 0x00, 0x0B, 8, 0, 7, 0, 9, 1, 1, 0x11, 0,
+      0xFF, 0xD9).map(_.toByte)
+    assert(MediaDecoder.decodeHeader(jpg) ==
+      MediaDecoder.MediaMeta("jpg", 9, 7, 1))
+    // GIF87a with a global color table (2 entries) + a graphic-control
+    // extension before its single frame: skip paths must not miscount
+    val gif = (Array('G', 'I', 'F', '8', '7', 'a').map(_.toByte) ++
+      Array[Byte](5, 0, 4, 0, 0x80.toByte, 0, 0) ++ // 5x4, GCT flag, size 0
+      Array.fill[Byte](6)(0x2C) ++                  // GCT: 2*3 bytes of 0x2C
+      Array[Byte](0x21, 0xF9.toByte, 4, 0, 0, 0, 0, 0) ++ // GCE + terminator
+      Array[Byte](0x2C, 0, 0, 0, 0, 5, 0, 4, 0, 0, 2, 1, 0x2C, 0) ++
+      Array[Byte](0x3B))
+    assert(MediaDecoder.decodeHeader(gif) ==
+      MediaDecoder.MediaMeta("gif", 5, 4, 1))
+  }
+
+  test("multimodal: driver query == doc_id arithmetic (decode round-trip)") {
+    val got = graft.multimodal.MultimodalQueries.decodeMeta(spark, sf)
+      .as[(Long, String, Int, Int, Int)].collect().sorted
+    val expected = graft.core.Tables.documents(spark, sf)
       .select(col("doc_id"),
-              to_binary(col("text"), lit("utf-8")).as("content"))
-    val typed = docs.as[(Long, Array[Byte])]
-    val viaPartitions = MediaDecoder.decodeMeta(typed).toDF()
-      .withColumnRenamed("nFrames", "n_frames")
+        when(col("doc_id") % 3 === 0, "png")
+          .when(col("doc_id") % 3 === 1, "jpg").otherwise("gif").as("fmt"),
+        (col("doc_id") % 640 + 16).cast("int").as("width"),
+        (col("doc_id") * 7 % 480 + 16).cast("int").as("height"),
+        when(col("doc_id") % 3 === 2, col("doc_id") % 10 + 1).otherwise(1)
+          .cast("int").as("n_frames"))
       .as[(Long, String, Int, Int, Int)].collect().sorted
-    val viaColumns = MediaDecoder.decodeMetaColumns(docs)
-      .as[(Long, String, Int, Int, Int)].collect().sorted
-    assert(viaPartitions.sameElements(viaColumns))
+    assert(got.sameElements(expected))
   }
 
   test("multimodal: frame sampling strides over nFrames") {
     val decoded = MediaDecoder.decodeMeta(
-      Seq((1L, Array.fill[Byte](25)(7))).toDS()) // nFrames = 25%10+1 = 6
+      Seq((1L, graft.multimodal.MediaFixtures.gif(8, 8, 6))).toDS())
     val frames = MediaDecoder.frameSample(decoded, stride = 2)
       .as[(Long, Int)].collect().sorted
     assert(frames.toSeq == Seq((1L, 0), (1L, 2), (1L, 4)))
