@@ -211,8 +211,9 @@ object Pipeline {
     }
     runner.run("seeds_fp") { seedsFingerprint(spark, seeds) }
     val prevManifest = spark.read.parquet(s"$prevDir/crawl_manifest")
-    val prevText = spark.read.parquet(s"$prevDir/pages_text")
-    val prevLinked = spark.read.parquet(s"$prevDir/linked_all")
+    // carried url-keyed tables resolve through their layer chain (a prevDir
+    // that is itself a delta outDir holds LAYERS, not materialized tables)
+    val prevLinked = StageRunner.read(spark, s"$prevDir/linked_all")
 
     val manifest = runner.run("crawl_manifest") { manifestOf(newPages) }
     // The join must be keyed by the SMALL side — the delta, not the corpus.
@@ -246,10 +247,12 @@ object Pipeline {
     val freshText = runner.run("pages_text_fresh") {
       TextExtract.extract(newPages.join(dropUrls, Seq("url"), "left_semi"))
     }
-    val pagesText = runner.run("pages_text") {
-      prevText.join(dropUrls, Seq("url"), "left_anti")
-        .unionByName(freshText)
-    }
+    // the merged corpus table is carried as a LAYER (parent − drops ∪
+    // fresh) instead of rewritten — a delta run writes only delta-sized
+    // data for every carried stage (StageRunner.runCarried; the measured
+    // rewrite bill was most of the remaining delta wall)
+    runner.runCarried("pages_text", prevDir, Seq("url"), dropUrls,
+                      s"$outDir/pages_text_fresh")
 
     // parse + link ONLY the touched slice; carried links rejoin afterwards.
     // Stage name is delta-scoped ("mentions_fresh", like "pages_text_fresh")
@@ -262,10 +265,8 @@ object Pipeline {
     val linkedFresh = runner.run("linked_fresh") {
       AliasLink.linkAll(mentions, dict)
     }
-    val linkedAll = runner.run("linked_all") {
-      prevLinked.join(dropUrls, Seq("url"), "left_anti")
-        .unionByName(linkedFresh)
-    }
+    val linkedAll = runner.runCarried("linked_all", prevDir, Seq("url"),
+                                      dropUrls, s"$outDir/linked_fresh")
 
     // 1b. hypernym counts: the url-keyed view carries untouched urls and
     // re-parses ONLY fresh prose; the global aggregate applies the
@@ -274,21 +275,22 @@ object Pipeline {
     // maintenance cost is 1× the churn, not 2×). Pairs whose count cancels
     // to 0 drop out, so the result is EXACTLY the full-run aggregate
     // (asserted by DeltaSpec).
-    val prevHypByUrl = spark.read.parquet(s"$prevDir/hypernyms_by_url")
-    val hypByUrl = locally {
+    val prevHypByUrl = StageRunner.read(spark, s"$prevDir/hypernyms_by_url")
+    val freshHypByUrl = locally {
       val sp = spark
       import sp.implicits._
-      runner.run("hypernyms_by_url") {
-        prevHypByUrl.join(dropUrls, Seq("url"), "left_anti")
-          .unionByName(graft.mine.Hearst.corpusCountsByUrl(
-            freshText.select("url", "text").as[(String, String)]))
+      runner.run("hypernyms_by_url_fresh") {
+        graft.mine.Hearst.corpusCountsByUrl(
+          freshText.select("url", "text").as[(String, String)])
       }
     }
+    runner.runCarried("hypernyms_by_url", prevDir, Seq("url"), dropUrls,
+                      s"$outDir/hypernyms_by_url_fresh")
     runner.run("hypernyms") {
       val prevHyp = spark.read.parquet(s"$prevDir/hypernyms")
       val minus = prevHypByUrl.join(dropUrls, Seq("url"), "left_semi")
         .groupBy("sub", "obj").agg(sum("cnt").as("cnt"))
-      val plus = hypByUrl.join(dropUrls, Seq("url"), "left_semi")
+      val plus = freshHypByUrl
         .groupBy("sub", "obj").agg(sum("cnt").as("cnt"))
       maintainCounts(prevHyp, minus, plus, Seq("sub", "obj"))
     }
@@ -525,8 +527,12 @@ object Pipeline {
                                 linkedAll: DataFrame, linkedFresh: DataFrame,
                                 prevLinked: DataFrame,
                                 seeds: Seeds): DataFrame = {
+    // count views are small and materialized; url-keyed carried tables
+    // resolve through their layer chain
     def prev(stage: String): DataFrame =
       spark.read.parquet(s"$prevDir/$stage")
+    def prevCarried(stage: String): DataFrame =
+      StageRunner.read(spark, s"$prevDir/$stage")
     val prevUnlCounts = prev("unlinked_label_counts")
 
     // F9 counts maintenance: minus = dropped urls' unlinked labels (from
@@ -569,14 +575,16 @@ object Pipeline {
     val nilAssignA = runner.run("nil_entities_fresh", report = nilRep) {
       NilCluster.cluster(keptUnlinkedA, nilRep)
     }
-    val prevSubjects = prev("subjects")
-    val subjects = runner.run("subjects") {
-      prevSubjects.join(affectedUrls, Seq("url"), "left_anti")
-        .unionByName(componentsSubjects(linkedA, keptUnlinkedA, nilAssignA))
+    // fresh slices are their own delta-sized stages; the merged tables are
+    // carried as LAYERS (runCarried — delta-sized writes only), and every
+    // downstream consumer of "the affected slice" reads the fresh
+    // checkpoint directly instead of re-slicing the merged view
+    val prevSubjects = prevCarried("subjects")
+    val subjectsA = runner.run("subjects_fresh") {
+      componentsSubjects(linkedA, keptUnlinkedA, nilAssignA)
     }
-    // affected slices re-read from the fresh checkpoints (cheap url-keyed
-    // scans), so downstream maintenance never re-executes the slice plans
-    val subjectsA = subjects.join(affectedUrls, Seq("url"), "left_semi")
+    runner.runCarried("subjects", prevDir, Seq("url"), affectedUrls,
+                      runner.pathOf("subjects_fresh"))
     val prevSubjectsA = prevSubjects.join(affectedUrls, Seq("url"), "left_semi")
 
     val labelCounts = runner.run("label_counts") {
@@ -584,29 +592,30 @@ object Pipeline {
                      labelCountsOf(subjectsA), Seq("ent", "label"))
     }
 
-    val prevSubjList = prev("subject_listings")
-    val subjectListings = runner.run("subject_listings") {
-      prevSubjList.join(affectedUrls, Seq("url"), "left_anti")
-        .unionByName(subjectsA.select("url", "listing_key", "ent").distinct())
+    val prevSubjList = prevCarried("subject_listings")
+    val subjListA = runner.run("subject_listings_fresh") {
+      subjectsA.select("url", "listing_key", "ent").distinct()
     }
-    val subjListA = subjectListings.join(affectedUrls, Seq("url"), "left_semi")
+    runner.runCarried("subject_listings", prevDir, Seq("url"), affectedUrls,
+                      runner.pathOf("subject_listings_fresh"))
     val prevSubjListA = prevSubjList.join(affectedUrls, Seq("url"), "left_semi")
 
     val seedTypes = seeds.entityTypes.select(col("ent"), col("tpe"))
-    val prevTypeRules = prev("type_rules")
-    val typeRules = runner.run("type_rules") {
-      prevTypeRules.join(affectedUrls, Seq("url"), "left_anti")
-        .unionByName(RuleMining.listingTypeRules(subjListA, seedTypes))
+    val prevTypeRules = prevCarried("type_rules")
+    val typeRulesA = runner.run("type_rules_fresh") {
+      RuleMining.listingTypeRules(subjListA, seedTypes)
     }
-    val prevRelRules = prev("relation_rules")
-    val relationRules = runner.run("relation_rules") {
-      prevRelRules.join(affectedUrls, Seq("url"), "left_anti")
-        .unionByName(
-          RuleMining.listingRelationRules(subjListA, seeds.seedRelations))
+    val typeRules = runner.runCarried("type_rules", prevDir, Seq("url"),
+                                      affectedUrls,
+                                      runner.pathOf("type_rules_fresh"))
+    val prevRelRules = prevCarried("relation_rules")
+    val relRulesA = runner.run("relation_rules_fresh") {
+      RuleMining.listingRelationRules(subjListA, seeds.seedRelations)
     }
-    val typeRulesA = typeRules.join(affectedUrls, Seq("url"), "left_semi")
+    val relationRules = runner.runCarried("relation_rules", prevDir,
+                                          Seq("url"), affectedUrls,
+                                          runner.pathOf("relation_rules_fresh"))
     val prevTypeRulesA = prevTypeRules.join(affectedUrls, Seq("url"), "left_semi")
-    val relRulesA = relationRules.join(affectedUrls, Seq("url"), "left_semi")
     val prevRelRulesA = prevRelRules.join(affectedUrls, Seq("url"), "left_semi")
 
     val typeCandCounts = runner.run("type_cand_counts") {
@@ -621,10 +630,10 @@ object Pipeline {
                      relCandCountsOf(subjListA, relRulesA),
                      Seq("ent", "pred", "obj"))
     }
-    val provPairs = runner.run("prov_pairs") {
-      prev("prov_pairs").join(affectedUrls, Seq("url"), "left_anti")
-        .unionByName(provPairsOf(subjListA, typeRulesA))
-    }
+    runner.run("prov_pairs_fresh") { provPairsOf(subjListA, typeRulesA) }
+    val provPairs = runner.runCarried("prov_pairs", prevDir, Seq("url"),
+                                      affectedUrls,
+                                      runner.pathOf("prov_pairs_fresh"))
     emitStages(spark, runner,
                Mining(typeRules, relationRules, labelCounts, typeCandCounts,
                       relCandCounts, provPairs), seeds)

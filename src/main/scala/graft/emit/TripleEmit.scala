@@ -65,8 +65,15 @@ object TripleEmit {
     val base = majorityLabelsFromCounts(labelCounts)
       .unionByName(typeTriples(types))
       .unionByName(relationTriples(rels))
-      .unionByName(provenanceTriples(provenance))
+    // provenance is the CORPUS-sized block; its (ent, url) input is
+    // distinct by construction (provPairsOf ends in distinct; carried
+    // layers union url-disjoint slices) and prov:wasDerivedFrom appears in
+    // no other block, so it bypasses the dedup — dropping the only
+    // corpus-wide shuffle this stage had. Everything else is
+    // candidate-sized and deduped across blocks (an axiom-derived fact can
+    // legitimately also be mined directly as a relation).
     extra.foldLeft(base)(_ unionByName _).distinct()
+      .unionByName(provenanceTriples(provenance))
   }
 
   // — ontology-side serialization flavors (r3 VERDICT missing #2) —

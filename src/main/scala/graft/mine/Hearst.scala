@@ -18,35 +18,47 @@ object Hearst {
 
   case class Hypernym(sub: String, obj: String)
 
-  // (pattern, subGroup, objGroup) — lowercase token-level regexes over one
-  // sentence; noun phrases approximated by 1-3 word spans.
+  // (pattern, subGroup, objGroup, anchor) — lowercase token-level regexes
+  // over one sentence; noun phrases approximated by 1-3 word spans.
   // lazy multi-word quantifier: the NP must not swallow the tokens after it
-  // ("cities such as berlin grew" → object "berlin", not "berlin grew")
+  // ("cities such as berlin grew" → object "berlin", not "berlin grew").
+  // `anchor` is a literal substring every match must contain — an O(n)
+  // indexOf prescreen that skips the backtracking NP regex on the vast
+  // majority of sentences (the corpus-dominant cost of this stage).
   private val np = "([a-z][a-z0-9]*(?: [a-z][a-z0-9]*){0,2}?)"
-  private val patterns: Seq[(java.util.regex.Pattern, Int, Int)] = Seq(
-    (s"$np is (?:a|an) $np".r.pattern, 1, 2),
-    (s"$np such as $np".r.pattern, 2, 1),
-    (s"such $np as $np".r.pattern, 2, 1),
-    (s"$np and other $np".r.pattern, 1, 2),
-    (s"$np or other $np".r.pattern, 1, 2),
-    (s"$np including $np".r.pattern, 2, 1),
-    (s"$np especially $np".r.pattern, 2, 1))
+  private val patterns: Seq[(java.util.regex.Pattern, Int, Int, String)] = Seq(
+    (s"$np is (?:a|an) $np".r.pattern, 1, 2, " is a"),
+    (s"$np such as $np".r.pattern, 2, 1, " such as "),
+    (s"such $np as $np".r.pattern, 2, 1, "such "),
+    (s"$np and other $np".r.pattern, 1, 2, " and other "),
+    (s"$np or other $np".r.pattern, 1, 2, " or other "),
+    (s"$np including $np".r.pattern, 2, 1, " including "),
+    (s"$np especially $np".r.pattern, 2, 1, " especially "))
+
+  // precompiled (String.split/replaceAll recompile their regex per call —
+  // measurable at corpus scale)
+  private val SentenceEnd = java.util.regex.Pattern.compile("[.!?]")
+  private val NonToken = java.util.regex.Pattern.compile("[^a-z0-9 ]")
+  private val Spaces = java.util.regex.Pattern.compile(" {2,}")
 
   /** All hypernym pairs matched in one text (sentence-split on [.!?]). */
   def matchText(text: String): Seq[Hypernym] = {
-    text.toLowerCase.split("[.!?]").toSeq.flatMap { sentence =>
-      val s = sentence.replaceAll("[^a-z0-9 ]", " ")
-        .replaceAll("\\s+", " ").trim
-      patterns.flatMap { case (p, si, oi) =>
-        val m = p.matcher(s)
-        val out = scala.collection.mutable.ArrayBuffer.empty[Hypernym]
-        while (m.find()) {
-          // head-word approximation: last token of each noun phrase
-          val sub = m.group(si).split(' ').last
-          val obj = m.group(oi).split(' ').last
-          if (sub != obj) out += Hypernym(sub, obj)
+    SentenceEnd.split(text.toLowerCase).toSeq.flatMap { sentence =>
+      val s = Spaces.matcher(
+        NonToken.matcher(sentence).replaceAll(" ")).replaceAll(" ").trim
+      patterns.flatMap { case (p, si, oi, anchor) =>
+        if (!s.contains(anchor)) Nil
+        else {
+          val m = p.matcher(s)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Hypernym]
+          while (m.find()) {
+            // head-word approximation: last token of each noun phrase
+            val sub = m.group(si).split(' ').last
+            val obj = m.group(oi).split(' ').last
+            if (sub != obj) out += Hypernym(sub, obj)
+          }
+          out
         }
-        out
       }
     }
   }

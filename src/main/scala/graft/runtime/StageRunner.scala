@@ -21,6 +21,10 @@ import java.nio.file.{Files, Paths}
 final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
 
   private def path(stage: String) = s"$outDir/$stage"
+
+  /** Absolute path of a stage under this runner's outDir (carry layers
+    * reference fresh-slice checkpoints by path). */
+  def pathOf(stage: String): String = path(stage)
   private def done(stage: String): Boolean =
     StageRunner.completed(outDir, stage)
 
@@ -53,6 +57,66 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
       val (rounds, conv) = loopCols
       appendLineage(Seq((stage, runId, rowsIn, df.count(), 0L,
         (System.nanoTime() - t0) / 1000000, false, rounds, conv)))
+      df
+    }
+  }
+
+  /** Carry a url-keyed stage INCREMENTALLY: instead of rewriting the merged
+    * corpus-sized table (the dominant cost of a delta run once compute is
+    * maintained — measured in BENCH/BASELINE.md), record a LAYER — the
+    * parent run's stage path, the dropped-key set, and a path to the fresh
+    * slice (an already-checkpointed, delta-sized stage). Reading resolves
+    * `parent − drops ∪ fresh` with a broadcast anti-join on the small drop
+    * set; chained deltas resolve recursively through their ancestors, so a
+    * delta run writes only DELTA-sized data for carried stages — the
+    * log-structured (LSM/Delta-log) shape of incremental view maintenance.
+    *
+    * Read amplification is bounded: when the chain would exceed
+    * `graft.delta.maxLayerDepth` (default [[StageRunner.MaxLayerDepth]]),
+    * the stage COMPACTS — materializes the resolved view fully and resets
+    * depth to 0. Ancestor outDirs must be retained while a layer references
+    * them (compaction bounds the retention window).
+    *
+    * Layer layout under `<outDir>/<stage>/`: `_layer_drops/` (parquet key
+    * set), `_layer` (text: parent path, fresh path, depth, keys — written
+    * LAST as the commit marker). [[StageRunner.completed]] accepts either a
+    * materialized `_SUCCESS` or a committed layer. */
+  def runCarried(stage: String, parentDir: String, keys: Seq[String],
+                 drops: DataFrame, freshPath: String,
+                 rowsIn: Long = -1L): DataFrame = {
+    val t0 = System.nanoTime()
+    val parentPath = s"$parentDir/$stage"
+    if (done(stage)) {
+      val df = StageRunner.read(spark, path(stage))
+      appendLineage(Seq((stage, runId, rowsIn, df.count(), 0L,
+        (System.nanoTime() - t0) / 1000000, true, -1L, true)))
+      df
+    } else {
+      val maxDepth = spark.conf
+        .get("graft.delta.maxLayerDepth", StageRunner.MaxLayerDepth.toString)
+        .toInt
+      val depth = StageRunner.layerDepth(parentPath) + 1
+      val df =
+        if (depth > maxDepth) {
+          // compact: one full materialization resets the chain
+          val resolved = StageRunner.read(spark, parentPath)
+            .join(drops, keys, "left_anti")
+            .unionByName(spark.read.parquet(freshPath))
+          resolved.write.mode(SaveMode.Overwrite).parquet(path(stage))
+          spark.read.parquet(path(stage))
+        } else {
+          drops.select(keys.map(col): _*)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"${path(stage)}/_layer_drops")
+          Files.write(
+            Paths.get(path(stage), "_layer"),
+            (s"parent=$parentPath\nfresh=$freshPath\ndepth=$depth\n" +
+              s"keys=${keys.mkString(",")}\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          StageRunner.read(spark, path(stage))
+        }
+      appendLineage(Seq((stage, runId, rowsIn, df.count(), 0L,
+        (System.nanoTime() - t0) / 1000000, false, -1L, true)))
       df
     }
   }
@@ -90,10 +154,49 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
 }
 
 object StageRunner {
+
+  /** Default maximum layer-chain length before [[StageRunner#runCarried]]
+    * compacts (session conf `graft.delta.maxLayerDepth` overrides). */
+  val MaxLayerDepth = 3
+
   /** A stage checkpoint is complete iff its parquet _SUCCESS marker exists
-    * — the single definition of "done" (resume-or-skip here, the prevDir
-    * contract probe in [[graft.Pipeline.runDelta]]); an object-store-aware
+    * OR it is a committed carry layer (`_layer` marker, written last) — the
+    * single definition of "done" (resume-or-skip here, the prevDir contract
+    * probe in [[graft.Pipeline.runDelta]]); an object-store-aware
     * completeness check replaces exactly this one method. */
   def completed(dir: String, stage: String): Boolean =
-    Files.exists(Paths.get(s"$dir/$stage", "_SUCCESS"))
+    Files.exists(Paths.get(s"$dir/$stage", "_SUCCESS")) ||
+      Files.exists(Paths.get(s"$dir/$stage", "_layer"))
+
+  /** Length of the layer chain hanging off `path` (0 = materialized). */
+  def layerDepth(path: String): Int = {
+    val meta = Paths.get(path, "_layer")
+    if (Files.exists(meta)) metaOf(path)("depth").toInt else 0
+  }
+
+  private def metaOf(path: String): Map[String, String] =
+    new String(Files.readAllBytes(Paths.get(path, "_layer")),
+               java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+      .toMap
+
+  /** Read a stage table, resolving carry layers recursively:
+    * `parent − drops ∪ fresh` per layer, drops broadcast (delta-sized by
+    * construction; compaction bounds the recursion). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val meta = Paths.get(path, "_layer")
+    if (!Files.exists(meta)) spark.read.parquet(path)
+    else {
+      val m = metaOf(path)
+      val drops = spark.read.parquet(s"$path/_layer_drops")
+      val keys = m("keys").split(",").toSeq
+      // no forced broadcast: drops are delta-sized by construction, so AQE
+      // plans a broadcast join; at high churn it degrades to a shuffle
+      // instead of OOMing the driver
+      read(spark, m("parent"))
+        .join(drops, keys, "left_anti")
+        .unionByName(spark.read.parquet(m("fresh")))
+    }
+  }
 }

@@ -83,10 +83,10 @@ class DeltaSpec extends SparkSuite {
   test("chained deltas: a delta outDir is a valid prevDir for the next") {
     // crawl v1 (missing two classes of pages) → delta to v1.5 (adds the
     // modified page's new capture) → delta to v2 (adds the remaining page).
-    // Every delta outDir checkpoints FULL merged tables plus the maintained
-    // aggregates, so snapshot N+1 chains off snapshot N's outDir — the
-    // recurring-crawl lifecycle. The final chained KG must equal the
-    // expected full-run triples exactly.
+    // Every delta outDir checkpoints carry LAYERS for the url-keyed merged
+    // tables plus materialized maintained aggregates, so snapshot N+1
+    // chains off snapshot N's outDir — the recurring-crawl lifecycle. The
+    // final chained KG must equal the expected full-run triples exactly.
     val v2 = world.pages
     val (v1, addedUrl, _) = previousCrawl(v2)
     val mid = v2.filterNot(_.url == addedUrl) // v1.5: still missing `added`
@@ -101,6 +101,37 @@ class DeltaSpec extends SparkSuite {
     // the second hop parsed ONLY the one page added after v1.5
     assert(spark.read.parquet(s"$d2/mentions_fresh")
       .select("url").distinct().count() == 1)
+  }
+
+  test("layer chains compact at maxLayerDepth and stay result-identical") {
+    // depth cap 1: gen-1 lays a depth-1 layer; gen-2 would reach depth 2,
+    // so every carried stage COMPACTS (materializes) instead — bounded
+    // read amplification (the LSM discipline). Output must stay exact and
+    // the compacted stage must be a plain parquet table again.
+    val v2 = world.pages
+    val (v1, addedUrl, _) = previousCrawl(v2)
+    val mid = v2.filterNot(_.url == addedUrl)
+    val d0 = SparkSuite.tempDir("graft-compact-0")
+    val d1 = SparkSuite.tempDir("graft-compact-1")
+    val d2 = SparkSuite.tempDir("graft-compact-2")
+    spark.conf.set("graft.delta.maxLayerDepth", "1")
+    try {
+      Pipeline.run(spark, v1.toDS().toDF(), seeds, d0)
+      Pipeline.runDelta(spark, mid.toDS().toDF(), seeds, d1, d0)
+      assert(graft.runtime.StageRunner.layerDepth(s"$d1/subjects") == 1)
+      val triples = Pipeline.runDelta(spark, v2.toDS().toDF(), seeds, d2, d1)
+      val pr = TripleDiff.diff(triples, world.expectedTriples.toDS().toDF())
+      assert(pr.precision == 1.0 && pr.recall == 1.0, s"compaction drift: $pr")
+      for (st <- Seq("pages_text", "linked_all", "subjects",
+                     "subject_listings", "type_rules", "relation_rules",
+                     "prov_pairs", "hypernyms_by_url")) {
+        assert(graft.runtime.StageRunner.layerDepth(s"$d2/$st") == 0,
+               s"$st should have compacted")
+        assert(java.nio.file.Files.exists(
+                 java.nio.file.Paths.get(s"$d2/$st", "_SUCCESS")),
+               s"$st should be materialized parquet after compaction")
+      }
+    } finally spark.conf.unset("graft.delta.maxLayerDepth")
   }
 
   test("losing one of a url's captures re-derives the url from survivors") {
