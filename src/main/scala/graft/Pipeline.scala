@@ -187,8 +187,8 @@ object Pipeline {
                            "linked_all", "hypernyms_by_url", "hypernyms")
     val miningStages = Seq("unlinked_label_counts", "subjects",
                            "subject_listings", "type_rules", "relation_rules",
-                           "label_counts", "type_cand_counts",
-                           "rel_cand_counts", "prov_pairs")
+                           "label_counts", "tag_stats", "valid_tags",
+                           "type_cand_counts", "rel_cand_counts", "prov_pairs")
     val needed = prefixStages ++
       (if (canon == Canonicalization.Components) miningStages else Nil)
     for (stage <- needed)
@@ -396,9 +396,30 @@ object Pipeline {
   private def labelCountsOf(subjects: DataFrame): DataFrame =
     subjects.groupBy("ent", "label").agg(count(lit(1)).as("cnt"))
 
-  private def typeCandCountsOf(subjListings: DataFrame,
-                               typeRules: DataFrame): DataFrame =
-    subjListings.join(typeRules, Seq("url", "listing_key"))
+  /** Tag-occurrence stats over LINKED mentions × seed types — the
+    * reference's df_train slice (known entities only,
+    * `listing/extract.py:47-48`); additive over url contributions, so a
+    * delta maintains it by the usual identity. */
+  private def tagStatsOf(linked: DataFrame, seedTypes: DataFrame): DataFrame =
+    graft.taxonomy.ValidTags.tagStats(
+      linked.select(col("ent"),
+                    graft.taxonomy.ValidTags.shapeTag(col("label")).as("tag")),
+      seedTypes)
+
+  /** A9 tag gate at ASSERTION level (≙ `listing/extract.py:158-162`: an
+    * assertion survives only when the subject mention's NE tag is valid
+    * for the asserted type — a type with no validity entry drops all its
+    * assertions): candidate (ent, tpe) counts from mention-level subjects,
+    * gated by the broadcast (tpe, tag) validity table, deduped to one row
+    * per (listing, ent, tpe) before counting (any valid-tagged mention of
+    * the entity in the listing asserts). */
+  private def typeCandCountsOf(subjects: DataFrame, typeRules: DataFrame,
+                               valid: DataFrame): DataFrame =
+    subjects.select(col("url"), col("listing_key"), col("ent"),
+                    graft.taxonomy.ValidTags.shapeTag(col("label")).as("tag"))
+      .join(typeRules, Seq("url", "listing_key"))
+      .join(broadcast(valid), Seq("tpe", "tag"), "left_semi")
+      .select("url", "listing_key", "ent", "tpe").distinct()
       .groupBy("ent", "tpe").agg(count(lit(1)).as("cnt"))
 
   private def relCandCountsOf(subjListings: DataFrame,
@@ -497,8 +518,16 @@ object Pipeline {
       RuleMining.listingRelationRules(subjectListings, seeds.seedRelations)
     }
     val labelCounts = runner.run("label_counts") { labelCountsOf(subjects) }
+    // A9 tag gate inputs: P(tag|type) stats over linked mentions, validity
+    // ≥ threshold with parent-tag inheritance (driver fixpoint over the
+    // broadcast taxonomy)
+    val tagStats = runner.run("tag_stats") { tagStatsOf(linked, seedTypes) }
+    val validTags = runner.run("valid_tags") {
+      graft.taxonomy.ValidTags.validTagsFromStats(tagStats,
+                                                  seeds.taxonomyEdges)
+    }
     val typeCandCounts = runner.run("type_cand_counts") {
-      typeCandCountsOf(subjectListings, typeRules)
+      typeCandCountsOf(subjects, typeRules, validTags)
     }
     val relCandCounts = runner.run("rel_cand_counts") {
       relCandCountsOf(subjectListings, relationRules)
@@ -555,12 +584,56 @@ object Pipeline {
       .groupBy("label").agg(count(lit(1)).as("c"))
       .filter(col("c") === 1).select("label")
       .localCheckpoint()
+
+    // A9 tag-validity maintenance: stats view by the usual identity, then
+    // the validity set recomputed (driver fixpoint, taxonomy-sized). Like
+    // F9, a VALIDITY FLIP changes gated assertions on urls the crawl never
+    // touched — the affected set widens to every url whose (prev subjects
+    // × prev rules) rows hit a flipped (tpe, tag) pair.
+    val seedTypes = seeds.entityTypes.select(col("ent"), col("tpe"))
+    val tagStats = runner.run("tag_stats") {
+      val minus = tagStatsOf(prevLinked.filter(col("ent").isNotNull)
+          .join(dropUrls, Seq("url"), "left_semi"), seedTypes)
+      val plus = tagStatsOf(linkedFresh.filter(col("ent").isNotNull),
+                            seedTypes)
+      maintainCounts(prev("tag_stats"), minus, plus, Seq("tpe", "tag"))
+    }
+    val validNew = runner.run("valid_tags") {
+      graft.taxonomy.ValidTags.validTagsFromStats(tagStats,
+                                                  seeds.taxonomyEdges)
+    }
+    val validPrev = prev("valid_tags")
+    val flippedTags = fresh(validNew).unionByName(fresh(validPrev))
+      .groupBy("tpe", "tag").agg(count(lit(1)).as("c"))
+      .filter(col("c") === 1).select("tpe", "tag")
+      .localCheckpoint()
+
+    val prevSubjects = prevCarried("subjects")
+    val prevTypeRules = prevCarried("type_rules")
+    val f9FlipUrls =
+      if (flipped.isEmpty) None
+      else Some(linkedAll.filter(col("ent").isNull)
+        .join(hintSmall(flipped), Seq("label"), "left_semi")
+        .select("url"))
+    val tagFlipUrls =
+      if (flippedTags.isEmpty) None
+      else {
+        // restrict rules to flipped types FIRST (tiny broadcast) so the
+        // listing-keyed join is map-side against a small side
+        val rulesFlipped = prevTypeRules.join(
+          hintSmall(flippedTags.select("tpe").distinct()),
+          Seq("tpe"), "left_semi")
+        Some(prevSubjects
+          .select(col("url"), col("listing_key"),
+                  graft.taxonomy.ValidTags.shapeTag(col("label")).as("tag"))
+          .join(rulesFlipped, Seq("url", "listing_key"))
+          .join(hintSmall(flippedTags), Seq("tpe", "tag"), "left_semi")
+          .select("url"))
+      }
+    val widenings = f9FlipUrls.toSeq ++ tagFlipUrls
     val affectedUrls = hintSmall(
-      (if (flipped.isEmpty) dropUrls
-       else dropUrls.unionByName(
-         linkedAll.filter(col("ent").isNull)
-           .join(hintSmall(flipped), Seq("label"), "left_semi")
-           .select("url"))
+      (if (widenings.isEmpty) dropUrls
+       else widenings.foldLeft(dropUrls.select("url"))(_ unionByName _)
          .distinct())
         .localCheckpoint())
 
@@ -579,7 +652,6 @@ object Pipeline {
     // carried as LAYERS (runCarried — delta-sized writes only), and every
     // downstream consumer of "the affected slice" reads the fresh
     // checkpoint directly instead of re-slicing the merged view
-    val prevSubjects = prevCarried("subjects")
     val subjectsA = runner.run("subjects_fresh") {
       componentsSubjects(linkedA, keptUnlinkedA, nilAssignA)
     }
@@ -600,8 +672,6 @@ object Pipeline {
                       runner.pathOf("subject_listings_fresh"))
     val prevSubjListA = prevSubjList.join(affectedUrls, Seq("url"), "left_semi")
 
-    val seedTypes = seeds.entityTypes.select(col("ent"), col("tpe"))
-    val prevTypeRules = prevCarried("type_rules")
     val typeRulesA = runner.run("type_rules_fresh") {
       RuleMining.listingTypeRules(subjListA, seedTypes)
     }
@@ -619,9 +689,13 @@ object Pipeline {
     val prevRelRulesA = prevRelRules.join(affectedUrls, Seq("url"), "left_semi")
 
     val typeCandCounts = runner.run("type_cand_counts") {
+      // minus under the PREVIOUS validity (what the recorded view
+      // contains), plus under the new one; validity flips on untouched
+      // urls are covered by the affected-set widening above
       maintainCounts(prev("type_cand_counts"),
-                     typeCandCountsOf(prevSubjListA, prevTypeRulesA),
-                     typeCandCountsOf(subjListA, typeRulesA),
+                     typeCandCountsOf(prevSubjectsA, prevTypeRulesA,
+                                      validPrev),
+                     typeCandCountsOf(subjectsA, typeRulesA, validNew),
                      Seq("ent", "tpe"))
     }
     val relCandCounts = runner.run("rel_cand_counts") {

@@ -23,13 +23,22 @@ object ValidTags {
 
   val DefaultThreshold = 0.35
 
+  /** mentionTags(ent, tag) × entTypes(ent, tpe) → the (tpe, tag, cnt)
+    * occurrence-count view — the additive, url-decomposable shape
+    * [[graft.Pipeline.runDelta]] delta-maintains. */
+  def tagStats(mentionTags: DataFrame, entTypes: DataFrame): DataFrame =
+    mentionTags.join(entTypes, "ent")
+      .groupBy("tpe", "tag").agg(count(lit(1)).as("cnt"))
+
   /** mentionTags(ent, tag) × entTypes(ent, tpe) → (tpe, tag, proba). */
   def tagProbabilities(mentionTags: DataFrame,
-                       entTypes: DataFrame): DataFrame = {
-    val joined = mentionTags.join(entTypes, "ent")
-    val totals = joined.groupBy("tpe").agg(count(lit(1)).as("total"))
-    joined.groupBy("tpe", "tag").agg(count(lit(1)).as("cnt"))
-      .join(totals, "tpe")
+                       entTypes: DataFrame): DataFrame =
+    probabilitiesFromStats(tagStats(mentionTags, entTypes))
+
+  /** (tpe, tag, cnt) stats view → (tpe, tag, proba). */
+  def probabilitiesFromStats(stats: DataFrame): DataFrame = {
+    val totals = stats.groupBy("tpe").agg(sum("cnt").as("total"))
+    stats.join(totals, "tpe")
       .select(col("tpe"), col("tag"), (col("cnt") / col("total")).as("proba"))
   }
 
@@ -41,13 +50,25 @@ object ValidTags {
     * diamond inheritance match the reference's recursive union. */
   def validTags(mentionTags: DataFrame, entTypes: DataFrame,
                 taxonomyEdges: DataFrame,
-                threshold: Double = DefaultThreshold): DataFrame = {
-    val direct = tagProbabilities(mentionTags, entTypes)
+                threshold: Double = DefaultThreshold): DataFrame =
+    validTagsFromStats(tagStats(mentionTags, entTypes), taxonomyEdges,
+                       threshold, extraUniverse = entTypes.select("tpe"))
+
+  /** [[validTags]] over a pre-aggregated (tpe, tag, cnt) view — the shape
+    * the pipeline checkpoints and delta-maintains. `extraUniverse`:
+    * additional (tpe) rows to include in the inheritance universe beyond
+    * the taxonomy nodes and the stats' own types. */
+  def validTagsFromStats(stats: DataFrame, taxonomyEdges: DataFrame,
+                         threshold: Double = DefaultThreshold,
+                         extraUniverse: DataFrame = null): DataFrame = {
+    val direct = probabilitiesFromStats(stats)
       .filter(col("proba") >= threshold).select("tpe", "tag")
       .localCheckpoint()
-    val universe = taxonomyEdges.select(col("child").as("tpe"))
+    val base = taxonomyEdges.select(col("child").as("tpe"))
       .unionByName(taxonomyEdges.select(col("parent").as("tpe")))
-      .unionByName(entTypes.select("tpe"))
+      .unionByName(stats.select("tpe"))
+    val universe = (if (extraUniverse == null) base
+                    else base.unionByName(extraUniverse))
       .distinct().localCheckpoint()
     val missing = universe
       .join(direct.select("tpe").distinct(), Seq("tpe"), "left_anti")
@@ -92,10 +113,12 @@ object ValidTags {
 
   /** Deterministic word-shape tag for a label — the engine's heuristic
     * stand-in for the reference's spaCy NE tags (M2 discipline: the
-    * plumbing is real, the model is replaceable). */
+    * plumbing is real, the model is replaceable). TITLE admits bare digit
+    * tokens ("Apollo 11" is title-shaped, not OTHER). */
   def shapeTag(label: Column): Column =
     when(label.rlike("^[0-9][0-9,.\\-]*$"), "NUM")
       .when(label.rlike("^[A-Z0-9 ]+$") && label.rlike("[A-Z]"), "ALLCAPS")
-      .when(label.rlike("^([A-Z][a-z0-9]*)( [A-Z][a-z0-9]*)*$"), "TITLE")
+      .when(label.rlike("^([A-Z][a-z0-9]*|[0-9]+)( ([A-Z][a-z0-9]*|[0-9]+))*$"),
+            "TITLE")
       .otherwise("OTHER")
 }

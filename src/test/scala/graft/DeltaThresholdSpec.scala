@@ -166,6 +166,67 @@ class DeltaThresholdSpec extends SparkSuite {
       .select("url").distinct().count() == 4)
   }
 
+  test("tag-validity flips reach untouched urls (A9 gate delta closure)") {
+    // v1 plants an ALLCAPS NIL item on an UNTOUCHED scientist listing —
+    // ALLCAPS is invalid (all linked mentions are TITLE) so its type
+    // assertion is gated out. v2 ADDS one page of 40 linked ALLCAPS
+    // mentions of seed scientists, pushing P(ALLCAPS|Scientist) over the
+    // 0.35 threshold: the (Scientist, ALLCAPS) validity FLIPS, and the
+    // untouched listing must gain the planted item's type assertion
+    // WITHOUT being re-parsed. Delta ≡ fresh full proves exactness.
+    val untouchedUrl = "https://example.org/list-of-scientists-of-country-1"
+    val mark = "ZZ TOP NINE"
+    val v1 = world.pages.map { p =>
+      if (p.url == untouchedUrl) mapLines(p) { lines =>
+        lines.flatMap(l =>
+          if (l.contains("== See also ==")) Seq(s"* [[$mark]] — anomalous.", l)
+          else Seq(l))
+      } else p
+    }
+    val sp = spark
+    import sp.implicits._
+    val rx = (0 until 40).map { j =>
+      (s"RX UNIT $j",
+       world.entName("Scientist", j % world.nCountries,
+                     j % world.knownPerListing), 1.0, false)
+    }
+    val seeds2 = seeds.copy(aliases = seeds.aliases.unionByName(
+      rx.toDF("alias", "ent", "freq", "is_hot")))
+    val rxBody = (Seq("== RX ==") ++
+      (0 until 40).map(j => s"* [[RX UNIT $j]] — unit.")).mkString("\n")
+    val rxPage = graft.core.Schemas.Page(
+      "https://example.org/rx-units", new java.sql.Timestamp(1700000000000L),
+      world.htmlFor(rxBody), rxBody, "en")
+    val v2 = v1 :+ rxPage
+
+    val prevDir = SparkSuite.tempDir("graft-tagflip-prev")
+    val outDir = SparkSuite.tempDir("graft-tagflip-out")
+    val freshDir = SparkSuite.tempDir("graft-tagflip-fresh")
+    val before = Pipeline.run(spark, v1.toDS().toDF(), seeds2, prevDir)
+    val markedEnt = before
+      .filter(col("pred") === "rdfs:label" && col("obj") === mark)
+      .select("subj").as[String].collect().head
+    assert(before.filter(col("subj") === markedEnt &&
+             col("pred") === "rdf:type").count() == 0,
+           "v1: ALLCAPS item must be gated out")
+    val delta = Pipeline.runDelta(spark, v2.toDS().toDF(), seeds2,
+                                  outDir, prevDir)
+    val full = Pipeline.run(spark, v2.toDS().toDF(), seeds2, freshDir)
+    val pr = TripleDiff.diff(delta, full)
+    assert(pr.precision == 1.0 && pr.recall == 1.0, s"tag-flip drift: $pr")
+    assert(delta.filter(col("subj") === markedEnt &&
+             col("pred") === "rdf:type" && col("obj") === "Scientist")
+           .count() == 1, "flip must un-gate the planted type assertion")
+    // only the ADDED page was parsed; the untouched listing was re-MINED
+    // (it appears in the affected slice), not re-parsed
+    assert(spark.read.parquet(s"$outDir/mentions_fresh")
+      .select("url").distinct().as[String].collect().toSeq ==
+      Seq("https://example.org/rx-units"))
+    assert(spark.read.parquet(s"$outDir/subjects_fresh")
+      .filter(col("url") === untouchedUrl).count() > 0,
+           "untouched url must be in the widened affected slice")
+  }
+
   test("high-churn fallback: un-hinted carry joins stay result-identical") {
     // graft.delta.maxBroadcastKeys = 0 disables EVERY delta broadcast hint
     // — the shape a high-churn re-crawl degrades to (SCALE.md rule 1).

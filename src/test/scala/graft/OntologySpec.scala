@@ -144,6 +144,49 @@ class OntologySpec extends SparkSuite {
     assert(meta.contains(("void:graft", "void:properties", "2", true)))
   }
 
+  test("A9 tag gate in the pipeline: invalid-tag subject loses ONLY its type") {
+    // Linked fixture mentions are TITLE-shaped, so TITLE is each type's
+    // only valid tag; the planted ALLCAPS item is NIL in a type-mined
+    // listing → its (ent, Scientist) assertion must be gated out while its
+    // label and provenance triples survive (the gate is assertion-level,
+    // extract.py:158-162 — not a subject drop). A TITLE-shaped NIL
+    // neighbor in the same listing keeps its mined type (positive control).
+    val world = graft.testkit.CorpusGen.default
+    val mark = "XYZ ROCKET QQ"
+    val pages = world.pages.map { p =>
+      if (p.url == "https://example.org/list-of-scientists-of-country-0") {
+        val body2 = p.text.replace("== See also ==",
+          s"* [[$mark]] — anomalous entry.\n== See also ==")
+        p.copy(html = world.htmlFor(body2), text = body2)
+      } else p
+    }
+    val outDir = SparkSuite.tempDir("graft-taggate")
+    val triples = Pipeline.run(spark, pages.toDS().toDF(),
+                               world.seeds(spark), outDir)
+    val marked = triples
+      .filter(col("pred") === "rdfs:label" && col("obj") === mark)
+      .select("subj").as[String].collect()
+    assert(marked.length == 1, s"planted label triple missing: $marked")
+    assert(triples.filter(col("subj") === marked.head &&
+             col("pred") === "rdf:type").count() == 0,
+           "ALLCAPS subject must not receive a gated type assertion")
+    assert(triples.filter(col("subj") === marked.head &&
+             col("pred") === "prov:wasDerivedFrom").count() >= 1)
+    val control = triples
+      .filter(col("pred") === "rdfs:label" &&
+              col("obj") === world.unknownLabel("Scientist", 0, 0))
+      .select("subj").as[String].collect()
+    assert(control.length == 1)
+    assert(triples.filter(col("subj") === control.head &&
+             col("pred") === "rdf:type" && col("obj") === "Scientist")
+           .count() == 1, "TITLE-shaped NIL neighbor must keep its type")
+    // the validity table itself is checkpointed and TITLE-only per type
+    val valid = spark.read.parquet(s"$outDir/valid_tags")
+      .as[(String, String)].collect().toSet
+    assert(valid.contains(("Scientist", "TITLE")) &&
+           !valid.exists(_._2 == "ALLCAPS"), s"valid: $valid")
+  }
+
   test("pipeline emits the ontology flavors (axiom fires on the planted type)") {
     val world = graft.testkit.CorpusGen.default
     val outDir = SparkSuite.tempDir("graft-onto")
