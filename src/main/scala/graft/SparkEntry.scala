@@ -43,6 +43,8 @@ object SparkEntry {
     "cat2ax_pattern_probe"  -> (MiningQueries.cat2axPatternProbe _),
     "a9_valid_tags"         -> (MiningQueries.validTags _),
     "ontology_axiom_facts"  -> (KgQueries.axiomFactsQuery _),
+    "ontology_classes"      -> (KgQueries.ontologyClassesQuery _),
+    "ontology_mappings"     -> (KgQueries.ontologyMappingsQuery _),
     "f7_table_grid"         -> (MiningQueries.f7TableGrid _),
     "u2_set_difference"     -> (Relational.setDifference _),
     "g2_type_closure"       -> (Relational.typeClosure _),
@@ -215,6 +217,8 @@ object SparkEntry {
     "cat2ax_pattern_probe"   -> MiningQueries.cat2axPatternProbeSql,
     "a9_valid_tags"          -> MiningQueries.validTagsSql,
     "ontology_axiom_facts"   -> KgQueries.axiomFactsOracle,
+    "ontology_classes"       -> KgQueries.ontologyClassesOracle,
+    "ontology_mappings"      -> KgQueries.ontologyMappingsOracle,
     "f7_table_grid"          -> MiningQueries.f7TableGridSql,
     "dedup_exact"            -> Dedup.exactDedupSql,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccardSql,

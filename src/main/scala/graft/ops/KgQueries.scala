@@ -188,6 +188,56 @@ object KgQueries {
         CAST($n AS BIGINT) AS full_cnt"""
   }
 
+  /** Ontology-class serialization as an oracle row: nation→region edges
+    * as the taxonomy (regions are roots — never children — so they get no
+    * class/label rows), two disjoint pairs of which one survives the
+    * emit-once a<b guard ([[graft.emit.TripleEmit.ontologyClassTriples]],
+    * ≙ serialize.py:85-116). */
+  def ontologyClassesQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.nation(s, d).select(
+      concat(lit("n"), col("n_nationkey")).as("child"),
+      concat(lit("r"), col("n_regionkey")).as("parent"))
+    val disjoint = Seq(("r0", "r1"), ("r2", "r1"))
+      .toDF("type_a", "type_b")
+    graft.emit.TripleEmit.ontologyClassTriples(edges, disjoint)
+  }
+
+  val ontologyClassesOracle: String =
+    """WITH e AS (SELECT DISTINCT 'n'||n_nationkey AS child,
+                         'r'||n_regionkey AS parent FROM nation),
+       nodes AS (SELECT DISTINCT child AS t FROM e)
+       SELECT t AS subj, 'rdf:type' AS pred, 'owl:Class' AS obj,
+              false AS is_literal FROM nodes
+       UNION ALL SELECT t, 'rdfs:label', t, true FROM nodes
+       UNION ALL SELECT child, 'rdfs:subClassOf', parent, false FROM e
+       UNION ALL SELECT 'r0', 'owl:disjointWith', 'r1', false"""
+
+  /** External-KB mapping flavors as an oracle row
+    * ([[graft.emit.TripleEmit.mappingTriples]], ≙ serialize.py:147-157,
+    * 221-229): type/predicate/entity maps are INPUT tables. */
+  def ontologyMappingsQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val typeMap = Tables.nation(s, d).select(
+      concat(lit("n"), col("n_nationkey")).as("tpe"),
+      concat(lit("dbo:Nation"), col("n_nationkey")).as("ext"))
+    val predMap = Seq(("clg:locatedIn", "dbo:location")).toDF("pred", "ext")
+    val entMap = Tables.customer(s, d)
+      .filter(col("c_custkey") % 7 === 0)
+      .select(concat(lit("c"), col("c_custkey")).as("ent"),
+              concat(lit("dbr:C"), col("c_custkey")).as("ext"))
+    graft.emit.TripleEmit.mappingTriples(typeMap, predMap, entMap)
+  }
+
+  val ontologyMappingsOracle: String =
+    """SELECT 'n'||n_nationkey AS subj, 'rdfs:subClassOf' AS pred,
+              'dbo:Nation'||n_nationkey AS obj, false AS is_literal
+       FROM nation
+       UNION ALL SELECT 'clg:locatedIn', 'owl:equivalentProperty',
+              'dbo:location', false
+       UNION ALL SELECT 'c'||c_custkey, 'owl:sameAs', 'dbr:C'||c_custkey,
+              false FROM customer WHERE c_custkey % 7 = 0"""
+
   val alignmentEdgesOracle: String =
     """WITH m AS (SELECT 'm'||p_partkey AS mention_id,
                   'Widget '||(p_partkey % 300) AS label FROM part),
