@@ -60,6 +60,8 @@ object SparkEntry {
     "dedup_embedding_ivf"     -> (Dedup.embeddingCosineIvf _),
     "dedup_common_ngrams"     -> (Dedup.commonNgrams _),
     "dedup_cluster_keep"      -> (Dedup.clusterKeep _),
+    "dedup_paragraph"         -> (Dedup.paragraphDedup _),
+    "dedup_decontaminate"     -> (Dedup.decontaminate _),
     "ann_bruteforce_topk"     -> (Ann.bruteForceTopK _),
     "ann_ivf_topk"            -> (Ann.ivfTopK _),
     "ann_ivf_multiprobe"      -> (Ann.ivfMultiProbe _),
@@ -70,6 +72,7 @@ object SparkEntry {
     "text_token_count"        -> (TextOps.tokenCount _),
     "text_fingerprint"        -> (TextOps.fingerprint _),
     "text_repetition"         -> (TextOps.repetition _),
+    "text_pii_scrub"          -> (TextOps.piiScrub _),
     "mm_decode_meta" -> (graft.multimodal.MultimodalQueries.decodeMeta _),
     "stream_window_counts" -> ((s, d) =>
       graft.streaming.Streams.windowedCounts(graft.core.Tables.events(s, d))),
@@ -86,6 +89,9 @@ object SparkEntry {
     "kg_triples"              -> (KgQueries.triples _),
     "kg_delta_identity"       -> (KgQueries.deltaIdentity _),
     "ed_alignment_edges"      -> (KgQueries.alignmentEdges _),
+    "nif_context_roundtrip"   -> (NifQueries.contextRoundtrip _),
+    "nif_mentions_roundtrip"  -> (NifQueries.mentionsRoundtrip _),
+    "nif_type_lexicalisations" -> (NifQueries.typeLexicalisations _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -228,6 +234,8 @@ object SparkEntry {
     "dedup_embedding_ivf"    -> Dedup.embeddingCosineIvfSql,
     "dedup_common_ngrams"    -> Dedup.commonNgramsSql,
     "dedup_cluster_keep"     -> Dedup.clusterKeepSql,
+    "dedup_paragraph"        -> Dedup.paragraphDedupSql,
+    "dedup_decontaminate"    -> Dedup.decontaminateSql,
     "ann_bruteforce_topk"    -> Ann.bruteForceTopKSql,
     "ann_ivf_topk"           -> Ann.ivfTopKSql,
     "ann_ivf_multiprobe"     -> Ann.ivfMultiProbeSql,
@@ -238,6 +246,7 @@ object SparkEntry {
     "text_token_count"       -> TextOps.tokenCountSql,
     "text_fingerprint"       -> TextOps.fingerprintSql,
     "text_repetition"        -> TextOps.repetitionSql,
+    "text_pii_scrub"         -> TextOps.piiScrubSql,
     "mm_decode_meta" -> graft.multimodal.MultimodalQueries.decodeMetaSql,
     "stream_window_counts"   -> graft.streaming.Streams.windowedCountsSql,
     "stream_sessionize"      -> graft.streaming.Streams.sessionizeSql,
@@ -248,5 +257,8 @@ object SparkEntry {
     "kg_triples"             -> KgQueries.triplesOracle,
     "kg_delta_identity"      -> KgQueries.deltaIdentityOracle,
     "ed_alignment_edges"     -> KgQueries.alignmentEdgesOracle,
+    "nif_context_roundtrip"  -> NifQueries.contextRoundtripSql,
+    "nif_mentions_roundtrip" -> NifQueries.mentionsRoundtripSql,
+    "nif_type_lexicalisations" -> NifQueries.typeLexicalisationsSql,
   )
 }

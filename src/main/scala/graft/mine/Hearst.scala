@@ -63,6 +63,69 @@ object Hearst {
     }
   }
 
+  /** Full-span variant of [[matchText]]: (hyponym span, hypernym span)
+    * pairs with the complete noun-phrase text of each side — what the
+    * reference's type-lexicalisation loop consumes (`nif_parser.py:53-63`
+    * keeps `sub.text` for the surface-form gate and iterates every word of
+    * the hypernym span). No head truncation, no sub≠obj filter (the
+    * reference applies neither before the gate). */
+  def matchSpans(text: String): Seq[(String, String)] = {
+    SentenceEnd.split(text.toLowerCase).toSeq.flatMap { sentence =>
+      val s = Spaces.matcher(
+        NonToken.matcher(sentence).replaceAll(" ")).replaceAll(" ").trim
+      patterns.flatMap { case (p, si, oi, anchor) =>
+        if (!s.contains(anchor)) Nil
+        else {
+          val m = p.matcher(s)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          while (m.find()) out += ((m.group(si), m.group(oi)))
+          out
+        }
+      }
+    }
+  }
+
+  /** NIF-driven type lexicalisations (S4's real downstream — reference
+    * `impl/wikipedia/nif_parser.py:49-63`): per page (resource, text),
+    * Hearst span pairs; a pair survives only if its hyponym span is a
+    * surface form referring to the page's own entity; then every word of
+    * the hypernym span is singularized (N6 ≙ the reference's lemmatizer),
+    * stop-words dropped, and counted against each of the entity's types.
+    *
+    * Shape at 100 TB: the span match is the same zero-shuffle flatMap as
+    * [[corpusCounts]]; the surface-form gate and the type join broadcast
+    * the alias dictionary and the entity-type table (the same small sides
+    * J1 broadcasts); the only corpus-sized shuffle is the final word-count
+    * groupBy with map-side combine.
+    *
+    * @param contexts     (resource, text) — e.g. [[graft.sources.NifSource.readContexts]]
+    * @param surfaceForms (surface_form, ent)
+    * @param entityTypes  (ent, tpe)
+    */
+  def typeLexCorpusCounts(contexts: Dataset[(String, String)],
+                          surfaceForms: DataFrame,
+                          entityTypes: DataFrame): DataFrame = {
+    import contexts.sparkSession.implicits._
+    val pairs = contexts
+      .flatMap { case (res, t) => matchSpans(t).map { case (s, o) => (res, s, o) } }
+      .toDF("resource", "sub", "obj_span")
+    pairs
+      .join(broadcast(surfaceForms),
+        pairs("sub") === surfaceForms("surface_form") &&
+          pairs("resource") === surfaceForms("ent"), "left_semi")
+      .join(broadcast(entityTypes), col("resource") === entityTypes("ent"))
+      .select(explode(split(col("obj_span"), " ")).as("word"), col("tpe"))
+      .select(graft.core.Normalize.singularize(col("word")).as("word"), col("tpe"))
+      .filter(!col("word").isin(TypeLexStopwords: _*))
+      .groupBy("word", "tpe").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Deterministic stand-in for spaCy's STOP_WORDS (`nif_parser.py:44`) —
+    * the closed-class tokens the synthetic fixtures can produce. */
+  val TypeLexStopwords: Seq[String] =
+    Seq("", "a", "an", "the", "of", "and", "or", "is", "are", "as", "such",
+        "other", "including", "especially")
+
   /** (id, text) → hypernym pair counts over the corpus (A5). */
   def corpusCounts(texts: Dataset[(String, String)]): DataFrame = {
     import texts.sparkSession.implicits._

@@ -490,6 +490,112 @@ object Dedup {
               (col("node") === col("component")).as("is_kept"))
   }
 
+  /** Paragraph-level exact dedup (the Dolma/CCNet line-level pass): split
+    * each document on a separator, keep only the globally FIRST occurrence
+    * of every paragraph (order: doc_id asc, position asc), and reassemble
+    * the surviving paragraphs in document order.
+    *
+    * Shape at 100 TB: explode (row-local) → one paragraph-keyed groupBy
+    * (partial-agg `min(struct(doc_id,pos))` — a hot boilerplate paragraph
+    * combines map-side, never a single-task sort, which is why this is NOT
+    * a window over the paragraph key) → one paragraph-keyed join back
+    * (AQE splits the skewed hot-paragraph partitions) → one doc-keyed
+    * rollup. Three shuffles, all linear in paragraph count.
+    *
+    * `sep` is "\n\n" on real webtext; the driver query passes a token
+    * separator because the synthetic corpus is single-line. */
+  def paragraphDedupDf(docs: DataFrame, sep: String): DataFrame = {
+    val paras = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
+      .filter(length(trim(col("para"))) > 0)
+    val first = paras.groupBy(col("para"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    paras.join(first, "para")
+      .withColumn("keep",
+        col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("pos"), col("para"))))),
+            x => x.getField("para")),
+          sep).as("clean_text"),
+        count(when(col("keep"), lit(1))).as("n_kept"),
+        count(when(!col("keep"), lit(1))).as("n_dropped"))
+  }
+
+  /** Benchmark decontamination (the release gate every training-data
+    * pipeline runs: drop documents that leak evaluation data): flag every
+    * document sharing at least one n-token shingle with a benchmark set.
+    *
+    * Shape at 100 TB: shingling is row-local; the benchmark shingle set is
+    * eval-suite-sized (KBs–MBs) → broadcast inner join against the corpus
+    * shingle stream, so the corpus is never shuffled to find hits; the hit
+    * rollup and the verdict join are hit-set-sized (AQE broadcasts the
+    * rollup back onto the corpus). One corpus scan, zero corpus shuffles. */
+  def decontaminateDf(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    def shingles(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n) // sequence(0,-1) yields [0,-1] — guard
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))"
+      )).as("sh"))
+    val benchSh = shingles(benchmark).select("sh").distinct()
+    val hits = shingles(docs)
+      .join(broadcast(benchSh), "sh")
+      .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_hits"))
+    docs.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("doc_id"), col("n_hits"),
+              (col("n_hits") > 0).as("is_contaminated"))
+  }
+
+  /** Driver query: the "benchmark" is the first 12 tokens of every 97th
+    * document (deterministic synthetic eval set; the sources themselves
+    * must therefore come back contaminated), 8-token shingles. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id"),
+              array_join(slice(split(col("text"), " "), 1, 12), " ").as("text"))
+    decontaminateDf(docs, bench, 8)
+  }
+
+  val decontaminateSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       ds AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS sh
+              FROM d, unnest(range(1, len(t) - 6)) AS u(i) WHERE len(t) >= 8),
+       b AS (SELECT list_slice(t, 1, 12) AS t FROM d WHERE doc_id % 97 = 0),
+       bs AS (SELECT DISTINCT array_to_string(list_slice(t, i, i + 7), ' ') AS sh
+              FROM b, unnest(range(1, len(t) - 6)) AS u(i) WHERE len(t) >= 8),
+       hits AS (SELECT doc_id, count(DISTINCT ds.sh) AS n_hits
+                FROM ds JOIN bs USING (sh) GROUP BY 1)
+       SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+              coalesce(h.n_hits, 0) > 0 AS is_contaminated
+       FROM d LEFT JOIN hits h USING (doc_id)"""
+
+  /** Driver query: paragraph dedup over `documents` with ' the ' as the
+    * separator (the corpus is single-line; the op is separator-generic). */
+  def paragraphDedup(s: SparkSession, d: String): DataFrame =
+    paragraphDedupDf(Tables.documents(s, d), " the ")
+
+  val paragraphDedupSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' the ') AS l FROM documents),
+       p AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos, l FROM d),
+       q AS (SELECT doc_id, pos, l[pos] AS para FROM p
+             WHERE length(trim(l[pos])) > 0),
+       m AS (SELECT doc_id, pos, para,
+               row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1 AS keep
+             FROM q)
+       SELECT doc_id,
+         coalesce(string_agg(CASE WHEN keep THEN para END, ' the ' ORDER BY pos), '') AS clean_text,
+         count(CASE WHEN keep THEN 1 END) AS n_kept,
+         count(CASE WHEN NOT keep THEN 1 END) AS n_dropped
+       FROM m GROUP BY doc_id"""
+
   val clusterKeepSql: String =
     // the ngramJaccard pair CTEs, then the same reachability closure as the
     // g9 oracle: component id = min node id that reaches the node

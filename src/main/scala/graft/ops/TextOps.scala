@@ -133,6 +133,67 @@ object TextOps {
         dupFrac(grams(3)).as("dup_3gram_frac"))
   }
 
+  // — PII scrubbing (the C4/Dolma-style cleanup pass every training-data
+  // pipeline runs before release) —
+
+  /** Patterns shared verbatim between the Spark plan and the DuckDB oracle
+    * (both engines' regex dialects agree on this subset). */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Pat  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhonePat = "\\+\\d{8,15}"
+
+  /** The deterministic PII salt: doc_id-derived contact strings appended to
+    * the text (same generate→operate→check shape as `mm_decode_meta` — the
+    * synthetic corpus carries no PII, so the query plants some, identically
+    * in Spark and the oracle, and the scrub must find exactly it). Every doc
+    * gets an email; ids ≡0 (mod 3) get an IPv4; ids ≡0 (mod 2) get a phone. */
+  private def salted: Column = concat(
+    col("text"),
+    lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit(" from 10."), pmod(col("doc_id"), lit(200)), lit("."),
+             pmod(col("doc_id") * 7, lit(200)), lit(".4"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit(" call +1555"),
+             lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 7, "0")))
+      .otherwise(lit("")))
+
+  /** PII scrub: count and redact emails / IPv4s / phone numbers. Pure
+    * row-local regex expressions — zero shuffles, the linear screen shape.
+    * Redaction order (emails first) keeps the patterns non-overlapping. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val t = salted
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_count(t, lit(EmailPat)).as("n_emails"),
+      regexp_count(t, lit(Ipv4Pat)).as("n_ips"),
+      regexp_count(t, lit(PhonePat)).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailPat, "<EMAIL>"),
+          Ipv4Pat, "<IP>"),
+        PhonePat, "<PHONE>").as("clean_text"))
+  }
+
+  val piiScrubSql: String = {
+    val t = """text || ' contact user' || doc_id || '@mail.example.com'
+       || CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || (doc_id % 200) || '.'
+               || ((doc_id * 7) % 200) || '.4' ELSE '' END
+       || CASE WHEN doc_id % 2 = 0 THEN ' call +1555'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') ELSE '' END"""
+    s"""WITH s AS (SELECT doc_id, $t AS t FROM documents)
+       SELECT doc_id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips,
+         len(regexp_extract_all(t, '\\+\\d{8,15}')) AS n_phones,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+           '\\+\\d{8,15}', '<PHONE>', 'g') AS clean_text
+       FROM s"""
+  }
+
   val repetitionSql: String =
     """WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
                   WHERE len(string_split(text,' ')) >= 3),

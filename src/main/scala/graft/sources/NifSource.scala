@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** NIF 2.0 corpus source (S4 — reference: `impl/wikipedia/nif_parser.py:66-82`
+  * loads the DBpedia `nif_context` dump with pynif and yields one
+  * (resource, plaintext) per `nif:Context`; the resource is the context IRI
+  * with its `?dbpv=…&nif=context` query suffix stripped, `nif_parser.py:72`,
+  * and the plaintext is `nif:isString` with newlines and bracket content
+  * removed, `nif_parser.py:79-81`).
+  *
+  * Spark-first shape: NIF is just an RDF graph, so the file is N-Triples
+  * lines → a row-local raw-triple parse ([[parseRaw]]: regex + the native
+  * unescape expression, full IRIs kept verbatim — the graft-base decode in
+  * [[NtSource.parse]] would be wrong for a foreign namespace) → ONE
+  * subject-keyed aggregation pivoting the predicate soup into typed rows.
+  * Context subjects are unique per page, phrase subjects unique per
+  * annotation, so the assembly shuffle is balanced by construction; at
+  * 100 TB it is the unavoidable "group the triples by subject" pass and the
+  * only shuffle this source performs. `spark.read.text` gives splittable
+  * scans for plain and .bz2 files (the DBpedia dumps' codec) for free.
+  */
+object NifSource {
+
+  val NifCore = "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#"
+  val ItsRdf  = "http://www.w3.org/2005/11/its/rdf#"
+  val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  /** Raw triple parse: (subj, pred, obj, is_literal) with IRIs verbatim;
+    * literal objects unescaped. Non-triple lines (comments, blanks) drop. */
+  def parseRaw(lines: DataFrame): DataFrame = {
+    val objTriples = lines
+      .filter(col("value").rlike(NtSource.objPat))
+      .select(
+        regexp_extract(col("value"), NtSource.objPat, 1).as("subj"),
+        regexp_extract(col("value"), NtSource.objPat, 2).as("pred"),
+        regexp_extract(col("value"), NtSource.objPat, 3).as("obj"),
+        lit(false).as("is_literal"))
+    val litTriples = lines
+      .filter(!col("value").rlike(NtSource.objPat) &&
+              col("value").rlike(NtSource.litPat))
+      .select(
+        regexp_extract(col("value"), NtSource.litPat, 1).as("subj"),
+        regexp_extract(col("value"), NtSource.litPat, 2).as("pred"),
+        call_function("nt_unescape_literal",
+          regexp_extract(col("value"), NtSource.litPat, 3)).as("obj"),
+        lit(true).as("is_literal"))
+    objTriples.unionByName(litTriples)
+  }
+
+  private def nif(name: String): Column = col("pred") === lit(NifCore + name)
+
+  /** The resource a NIF IRI annotates: strip the query suffix, then decode
+    * the name exactly like the reference's uri2iri + iri2name
+    * (`nif_parser.py:72`, `impl/util/rdf.py:110-120`) — base strip,
+    * %XX UTF-8 decode, '_'→' '. */
+  def resourceOf(iri: Column): Column =
+    NtSource.decodeName(substring_index(iri, "?", 1))
+
+  /** Assemble `nif:Context` rows →
+    * (resource, context_iri, text, begin_index, end_index, source_url).
+    * `text` is the raw `nif:isString`; apply [[plainText]] for the
+    * reference's parse-ready cleanup. */
+  def contexts(triples: DataFrame): DataFrame =
+    triples
+      // prune the soup to NIF predicates before the shuffle
+      .filter(col("pred").startsWith(NifCore))
+      .groupBy(col("subj"))
+      .agg(
+        max(when(nif("isString"), col("obj"))).as("text"),
+        max(when(nif("beginIndex"), col("obj"))).cast("long").as("begin_index"),
+        max(when(nif("endIndex"), col("obj"))).cast("long").as("end_index"),
+        max(when(nif("sourceUrl") && !col("is_literal"), col("obj"))).as("source_url"))
+      .filter(col("text").isNotNull) // contexts carry isString; phrases don't
+      .select(
+        resourceOf(col("subj")).as("resource"),
+        col("subj").as("context_iri"),
+        col("text"), col("begin_index"), col("end_index"), col("source_url"))
+
+  /** Assemble phrase annotations (`nif:anchorOf` + `itsrdf:taIdentRef`) →
+    * (resource, anchor_of, begin_index, end_index, entity). `entity` is the
+    * linked resource name (decoded), null for unlinked phrases. */
+  def mentions(triples: DataFrame): DataFrame =
+    triples
+      .filter(col("pred").startsWith(NifCore) ||
+              col("pred") === lit(ItsRdf + "taIdentRef"))
+      .groupBy(col("subj"))
+      .agg(
+        max(when(nif("anchorOf"), col("obj"))).as("anchor_of"),
+        max(when(nif("beginIndex"), col("obj"))).cast("long").as("begin_index"),
+        max(when(nif("endIndex"), col("obj"))).cast("long").as("end_index"),
+        max(when(nif("referenceContext") && !col("is_literal"), col("obj"))).as("ctx"),
+        max(when(col("pred") === lit(ItsRdf + "taIdentRef") && !col("is_literal"),
+                 col("obj"))).as("ta_iri"))
+      .filter(col("anchor_of").isNotNull) // phrases carry anchorOf; contexts don't
+      .select(
+        resourceOf(col("ctx")).as("resource"),
+        col("anchor_of"), col("begin_index"), col("end_index"),
+        NtSource.decodeName(col("ta_iri")).as("entity"))
+
+  /** The reference's plaintext cleanup before Hearst parsing
+    * (`nif_parser.py:79-81` + `impl/util/nlp.py:76-86`): newlines → space,
+    * then single-level '(…)' and '[…]' content removed with its
+    * surrounding whitespace (substitute=''). Row-local, codegen'd. */
+  def plainText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "\n", " "),
+        "\\s*\\([^()]*\\)\\s*", ""),
+      "\\s*\\[[^\\[\\]]*\\]\\s*", "")
+
+  /** File entry point: NIF N-Triples file(s) → context rows. */
+  def readContexts(spark: SparkSession, path: String): DataFrame =
+    contexts(parseRaw(spark.read.text(path)))
+
+  /** File entry point: NIF N-Triples file(s) → phrase-annotation rows. */
+  def readMentions(spark: SparkSession, path: String): DataFrame =
+    mentions(parseRaw(spark.read.text(path)))
+}

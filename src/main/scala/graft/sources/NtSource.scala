@@ -22,9 +22,9 @@ object NtSource {
   private val Base = "http://graft.example.org/resource/"
   private val PredBase = "http://graft.example.org/ontology/"
 
-  private val objPat =
+  private[sources] val objPat =
     "^<([^>]+)> <([^>]+)> <([^>]+)> \\.$"
-  private val litPat =
+  private[sources] val litPat =
     "^<([^>]+)> <([^>]+)> \"(.*)\"(?:\\^\\^<[^>]+>|@[a-zA-Z-]+)? \\.$"
 
   private val objRe = objPat.r

@@ -185,6 +185,20 @@ class OpsSpec extends SparkSuite {
     assert(got.contains((99L, 3L, 0L, 0.0)))
   }
 
+  test("decontamination: only docs sharing a full 8-gram with the benchmark flag") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // window [a..h] hits the benchmark
+      (2L, "a b c d e f g x i j"), // differs inside every 8-window
+      (3L, "z y x w v u t s"),     // exactly 8 tokens, no overlap
+      (4L, "a b c d e f g")        // 7 tokens — below the shingle width
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val out = Dedup.decontaminateDf(docs, bench, 8)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set((1L, 1L, true), (2L, 0L, false),
+                      (3L, 0L, false), (4L, 0L, false)))
+  }
+
   test("cluster-keep composes near-dup pairs into kept representatives") {
     val pairs = Dedup.ngramJaccard(spark, sf)
       .select("a", "b").as[(Long, Long)].collect().toSet
