@@ -92,6 +92,7 @@ object SparkEntry {
     "nif_context_roundtrip"   -> (NifQueries.contextRoundtrip _),
     "nif_mentions_roundtrip"  -> (NifQueries.mentionsRoundtrip _),
     "nif_type_lexicalisations" -> (NifQueries.typeLexicalisations _),
+    "xml_pages_roundtrip"     -> (XmlQueries.pagesRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -260,5 +261,6 @@ object SparkEntry {
     "nif_context_roundtrip"  -> NifQueries.contextRoundtripSql,
     "nif_mentions_roundtrip" -> NifQueries.mentionsRoundtripSql,
     "nif_type_lexicalisations" -> NifQueries.typeLexicalisationsSql,
+    "xml_pages_roundtrip"    -> XmlQueries.pagesRoundtripSql,
   )
 }

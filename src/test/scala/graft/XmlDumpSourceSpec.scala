@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.XmlDumpSource
+
+/** S1 XML page-dump source: a real mediawiki-shaped file read through the
+  * `lineSep=</page>` scan (reference: `impl/wikipedia/xml_parser.py:11-53`).
+  */
+class XmlDumpSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dump =
+    """<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.11/">
+      |  <siteinfo><sitename>Test</sitename><dbname>tw</dbname></siteinfo>
+      |  <page>
+      |    <title>Alan Turing</title>
+      |    <ns>0</ns>
+      |    <revision><text xml:space="preserve">pioneer &amp; &lt;b&gt;computing&lt;/b&gt;</text></revision>
+      |  </page>
+      |  <page>
+      |    <title>Template:Infobox</title>
+      |    <ns>10</ns>
+      |    <revision><text>{{infobox}}</text></revision>
+      |  </page>
+      |  <page>
+      |    <title>Category:Scientists</title>
+      |    <ns>14</ns>
+      |    <revision><text bytes="0" /></revision>
+      |  </page>
+      |  <page>
+      |    <title>Talk:Alan Turing</title>
+      |    <ns>1</ns>
+      |    <revision><text>dropped</text></revision>
+      |  </page>
+      |</mediawiki>
+      |""".stripMargin
+
+  test("file read: per-page records, ns filter, entity unescape") {
+    val dir = SparkSuite.tempDir("graft-xml")
+    val f = java.nio.file.Paths.get(dir, "dump.xml")
+    java.nio.file.Files.write(f, dump.getBytes("UTF-8"))
+    val rows = XmlDumpSource.readPages(spark, f.toString)
+      .as[(String, String, String)].collect().toSet
+    assert(rows == Set(
+      ("Alan Turing", "0", "pioneer & <b>computing</b>"),
+      ("Template:Infobox", "10", "{{infobox}}"),
+      // self-closing <text/> never matches the content regex → empty markup,
+      // same as the SAX end-event with no data callback
+      ("Category:Scientists", "14", "")))
+  }
+
+  test("split invariance: tiny maxPartitionBytes yields the identical page set") {
+    val dir = SparkSuite.tempDir("graft-xml-split")
+    val f = java.nio.file.Paths.get(dir, "big.xml")
+    val sb = new StringBuilder("<mediawiki>\n")
+    for (i <- 0 until 300) {
+      sb.append(s"  <page>\n    <title>Page $i</title>\n    <ns>${Seq(0, 10, 14, 3)(i % 4)}</ns>\n")
+      sb.append(s"    <revision><text>markup $i ${"x" * 50}</text></revision>\n  </page>\n")
+    }
+    sb.append("</mediawiki>\n")
+    java.nio.file.Files.write(f, sb.toString.getBytes("UTF-8"))
+    val whole = XmlDumpSource.readPages(spark, f.toString)
+      .as[(String, String, String)].collect().toSet
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      val fine = XmlDumpSource.readPages(spark, f.toString)
+      assert(fine.rdd.getNumPartitions > 4) // the scan actually split
+      assert(fine.as[(String, String, String)].collect().toSet == whole)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert(whole.size == 225 && whole.contains(("Page 0", "0", "markup 0 " + "x" * 50)))
+  }
+
+  test("resourceIri matches the reference's title → IRI mapping") {
+    graft.core.Normalize.register(spark)
+    val iri = Seq("Alan Turing").toDF("t")
+      .select(XmlDumpSource.resourceIri(col("t"))).as[String].head()
+    assert(iri == "http://graft.example.org/resource/Alan_Turing")
+  }
+}
