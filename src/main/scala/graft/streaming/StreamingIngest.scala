@@ -49,6 +49,15 @@ object StreamingIngest {
     AliasLink.linkAll(
       ListingExtract.mentions(TextExtract.extract(pages)), dict)
 
+  /** Streaming XML dump ingest: [[graft.sources.XmlDumpSource]] is pure
+    * row-local parse over split-aligned `</page>` records, so the same
+    * operators run unchanged under `readStream` — new dump files landing
+    * in `dir` stream through in append mode with zero state (asserted
+    * streaming ≡ batch across micro-batches in XmlDumpSourceSpec). */
+  def streamingDumpPages(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.XmlDumpSource.pages(
+      spark.readStream.option("lineSep", "</page>").text(dir))
+
   /** Streaming form over a parquet page source: watermarked re-crawl
     * dedup by url, then the shared prefix. */
   def streamingLinkedMentions(spark: SparkSession, pagesDir: String,

@@ -71,6 +71,31 @@ class XmlDumpSourceSpec extends SparkSuite {
     assert(whole.size == 225 && whole.contains(("Page 0", "0", "markup 0 " + "x" * 50)))
   }
 
+  test("streaming dump ingest == batch read, across micro-batches") {
+    val dir = SparkSuite.tempDir("graft-xml-stream")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.xml"), dump.getBytes("UTF-8"))
+    val q = graft.streaming.StreamingIngest.streamingDumpPages(spark, dir)
+      .writeStream.format("memory").queryName("xml_pages_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a second dump file lands → a second micro-batch, no state needed
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "b.xml"),
+        dump.replace("Alan Turing", "Ada Lovelace").getBytes("UTF-8"))
+      q.processAllAvailable()
+      val streamed = spark.table("xml_pages_stream")
+        .as[(String, String, String)].collect().toSet
+      val batch = XmlDumpSource.readPages(spark, dir)
+        .as[(String, String, String)].collect().toSet
+      // 3 kept pages per file; the template/category rows coincide → 4 distinct
+      assert(streamed == batch && streamed.size == 4)
+      assert(spark.table("xml_pages_stream").count() == 6)
+      assert(streamed.exists(_._1 == "Ada Lovelace"))
+    } finally q.stop()
+  }
+
   test("resourceIri matches the reference's title → IRI mapping") {
     graft.core.Normalize.register(spark)
     val iri = Seq("Alan Turing").toDF("t")
