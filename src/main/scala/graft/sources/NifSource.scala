@@ -114,6 +114,18 @@ object NifSource {
   def readContexts(spark: SparkSession, path: String): DataFrame =
     contexts(parseRaw(spark.read.text(path)))
 
+  /** The reference's end-to-end NIF wiring (`nif_parser.py:18-45`
+    * `extract_wiki_corpus_resources`): dump file → contexts → bracket/
+    * newline cleanup → Hearst corpus counts, i.e. the wiki-side hypernym
+    * evidence [[graft.mine.Hearst.mergeSources]] votes with (A6). */
+  def wikiHypernymCounts(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    graft.mine.Hearst.corpusCounts(
+      readContexts(spark, path)
+        .select(col("resource"), plainText(col("text")).as("text"))
+        .as[(String, String)])
+  }
+
   /** File entry point: NIF N-Triples file(s) → phrase-annotation rows. */
   def readMentions(spark: SparkSession, path: String): DataFrame =
     mentions(parseRaw(spark.read.text(path)))

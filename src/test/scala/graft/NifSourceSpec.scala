@@ -55,9 +55,9 @@ class NifSourceSpec extends SparkSuite {
   test("Hearst counts over NIF contexts == counts over squashed raw text") {
     val dir = SparkSuite.tempDir("graft-nif") + "/nifh"
     NifQueries.contextLines(docs).coalesce(1).write.text(dir)
-    val viaNif = Hearst.corpusCounts(
-      NifSource.readContexts(spark, dir)
-        .select(col("resource"), col("text")).as[(String, String)])
+    // the reference wiring (file → contexts → cleanup → counts); plainText
+    // is a no-op on this bracket-free fixture, so direct equality holds
+    val viaNif = NifSource.wikiHypernymCounts(spark, dir)
       .as[(String, String, Long)].collect().toSet
     val direct = Hearst.corpusCounts(
       docs.select(col("doc_id").cast("string"),
