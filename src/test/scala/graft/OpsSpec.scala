@@ -185,6 +185,20 @@ class OpsSpec extends SparkSuite {
     assert(got.contains((99L, 3L, 0L, 0.0)))
   }
 
+  test("paragraph dedup: first occurrence wins globally, document order kept") {
+    val docs = Seq(
+      (1L, "intro\n\nshared boilerplate\n\nbody one"),
+      (2L, "shared boilerplate\n\nbody two"), // boilerplate already seen in doc 1
+      (3L, "  \n\nbody three")               // blank paragraph never indexes
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedupDf(docs, "\n\n")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, "intro\n\nshared boilerplate\n\nbody one", 3L, 0L),
+      (2L, "body two", 1L, 1L),
+      (3L, "body three", 1L, 0L)))
+  }
+
   test("decontamination: only docs sharing a full 8-gram with the benchmark flag") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"), // window [a..h] hits the benchmark
