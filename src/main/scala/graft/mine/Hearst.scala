@@ -41,8 +41,12 @@ object Hearst {
   private val NonToken = java.util.regex.Pattern.compile("[^a-z0-9 ]")
   private val Spaces = java.util.regex.Pattern.compile(" {2,}")
 
-  /** All hypernym pairs matched in one text (sentence-split on [.!?]). */
-  def matchText(text: String): Seq[Hypernym] = {
+  /** One sentence-split/cleanup/anchor-prescreen/matcher walk shared by
+    * both extraction shapes — the patterns, anchors, and cleanup stay in
+    * lock-step by construction. `extract` turns each regex match into zero
+    * or one result. */
+  private def matchWith[T](text: String)(
+      extract: (java.util.regex.Matcher, Int, Int) => Option[T]): Seq[T] = {
     SentenceEnd.split(text.toLowerCase).toSeq.flatMap { sentence =>
       val s = Spaces.matcher(
         NonToken.matcher(sentence).replaceAll(" ")).replaceAll(" ").trim
@@ -50,18 +54,22 @@ object Hearst {
         if (!s.contains(anchor)) Nil
         else {
           val m = p.matcher(s)
-          val out = scala.collection.mutable.ArrayBuffer.empty[Hypernym]
-          while (m.find()) {
-            // head-word approximation: last token of each noun phrase
-            val sub = m.group(si).split(' ').last
-            val obj = m.group(oi).split(' ').last
-            if (sub != obj) out += Hypernym(sub, obj)
-          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[T]
+          while (m.find()) extract(m, si, oi).foreach(out += _)
           out
         }
       }
     }
   }
+
+  /** All hypernym pairs matched in one text (sentence-split on [.!?]). */
+  def matchText(text: String): Seq[Hypernym] =
+    matchWith(text) { (m, si, oi) =>
+      // head-word approximation: last token of each noun phrase
+      val sub = m.group(si).split(' ').last
+      val obj = m.group(oi).split(' ').last
+      if (sub != obj) Some(Hypernym(sub, obj)) else None
+    }
 
   /** Full-span variant of [[matchText]]: (hyponym span, hypernym span)
     * pairs with the complete noun-phrase text of each side — what the
@@ -69,21 +77,8 @@ object Hearst {
     * keeps `sub.text` for the surface-form gate and iterates every word of
     * the hypernym span). No head truncation, no sub≠obj filter (the
     * reference applies neither before the gate). */
-  def matchSpans(text: String): Seq[(String, String)] = {
-    SentenceEnd.split(text.toLowerCase).toSeq.flatMap { sentence =>
-      val s = Spaces.matcher(
-        NonToken.matcher(sentence).replaceAll(" ")).replaceAll(" ").trim
-      patterns.flatMap { case (p, si, oi, anchor) =>
-        if (!s.contains(anchor)) Nil
-        else {
-          val m = p.matcher(s)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-          while (m.find()) out += ((m.group(si), m.group(oi)))
-          out
-        }
-      }
-    }
-  }
+  def matchSpans(text: String): Seq[(String, String)] =
+    matchWith(text)((m, si, oi) => Some((m.group(si), m.group(oi))))
 
   /** NIF-driven type lexicalisations (S4's real downstream — reference
     * `impl/wikipedia/nif_parser.py:49-63`): per page (resource, text),

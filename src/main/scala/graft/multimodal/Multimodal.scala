@@ -120,11 +120,17 @@ object MediaDecoder {
   }
 
   /** Deterministic frame sampling: every `stride`-th frame index of a video
-    * payload (metadata-only here; a real pipeline would slice the payload). */
+    * payload (metadata-only here; a real pipeline would slice the payload).
+    * Frame-less rows (nFrames = 0 — the real decoder emits these for "bin"
+    * payloads and truncated GIFs, unlike the old stub) sample nothing:
+    * `sequence(0, -1)` would throw, so they take the empty-array branch and
+    * explode drops them. */
   def frameSample(decoded: Dataset[DecodedRow], stride: Int = 2): DataFrame =
     decoded.toDF().select(
       col("doc_id"),
-      explode(sequence(lit(0), col("nFrames") - 1, lit(stride)))
+      explode(when(col("nFrames") > 0,
+          sequence(lit(0), col("nFrames") - 1, lit(stride)))
+        .otherwise(array().cast("array<int>")))
         .as("frame_idx"))
 }
 

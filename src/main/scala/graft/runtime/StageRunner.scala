@@ -86,9 +86,16 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
                  rowsIn: Long = -1L): DataFrame = {
     val t0 = System.nanoTime()
     val parentPath = s"$parentDir/$stage"
+    // rows_out: counting a LAYER would resolve parent − drops ∪ fresh over
+    // the corpus-sized parent just to fill a counter — the exact job the
+    // layer exists to avoid (the run() discipline: never force an extra job
+    // on the hot path). Layers record -1 (unresolved view); materialized
+    // stages count from parquet metadata (no scan).
+    def outRows(df: DataFrame): Long =
+      if (StageRunner.layerDepth(path(stage)) > 0) -1L else df.count()
     if (done(stage)) {
       val df = StageRunner.read(spark, path(stage))
-      appendLineage(Seq((stage, runId, rowsIn, df.count(), 0L,
+      appendLineage(Seq((stage, runId, rowsIn, outRows(df), 0L,
         (System.nanoTime() - t0) / 1000000, true, -1L, true)))
       df
     } else {
@@ -115,7 +122,7 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           StageRunner.read(spark, path(stage))
         }
-      appendLineage(Seq((stage, runId, rowsIn, df.count(), 0L,
+      appendLineage(Seq((stage, runId, rowsIn, outRows(df), 0L,
         (System.nanoTime() - t0) / 1000000, false, -1L, true)))
       df
     }

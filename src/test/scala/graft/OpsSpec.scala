@@ -140,8 +140,11 @@ class OpsSpec extends SparkSuite {
   }
 
   test("multimodal: frame sampling strides over nFrames") {
-    val decoded = MediaDecoder.decodeMeta(
-      Seq((1L, graft.multimodal.MediaFixtures.gif(8, 8, 6))).toDS())
+    val decoded = MediaDecoder.decodeMeta(Seq(
+      (1L, graft.multimodal.MediaFixtures.gif(8, 8, 6)),
+      // a non-media payload decodes to ("bin", nFrames = 0) on the REAL
+      // decoder — it must sample zero frames, not crash sequence(0, -1)
+      (2L, "not an image".getBytes("UTF-8"))).toDS())
     val frames = MediaDecoder.frameSample(decoded, stride = 2)
       .as[(Long, Int)].collect().sorted
     assert(frames.toSeq == Seq((1L, 0), (1L, 2), (1L, 4)))
