@@ -20,21 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object TextExtract {
 
+  /** The pure html→text chain on a binary column — the single definition
+    * both [[extract]] and adapters deriving the golden `text` column use
+    * (same expressions ⇒ the byte-identity invariant holds by
+    * construction). */
+  def textFromHtml(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val htmlStr = decode(html, "UTF-8")
+    val noTags = regexp_replace(htmlStr, "<[^>]*>", "")
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      noTags,
+      "&lt;", "<"),
+      "&gt;", ">"),
+      "&nbsp;", " "),
+      "&amp;", "&")
+  }
+
   /** pages(url, warc_ts, html, text, lang) → (url, text) for lang='en',
     * where text is re-derived from html (NOT taken from the input column —
     * the input column is the golden expected value the invariant test
     * compares against). */
-  def extract(pages: DataFrame): DataFrame = {
-    val htmlStr = decode(col("html"), "UTF-8")
-    val noTags = regexp_replace(htmlStr, "<[^>]*>", "")
-    val text =
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        noTags,
-        "&lt;", "<"),
-        "&gt;", ">"),
-        "&nbsp;", " "),
-        "&amp;", "&")
+  def extract(pages: DataFrame): DataFrame =
     pages.filter(col("lang") === "en")
-      .select(col("url"), text.as("text"))
-  }
+      .select(col("url"), textFromHtml(col("html")).as("text"))
 }

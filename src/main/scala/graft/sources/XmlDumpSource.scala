@@ -59,6 +59,28 @@ object XmlDumpSource {
   def readPages(spark: SparkSession, path: String): DataFrame =
     pages(spark.read.option("lineSep", "</page>").text(path))
 
+  /** Adapt a dump to the north-rule page table
+    * (url, warc_ts, html, text, lang) so [[graft.Pipeline.run]] (and the
+    * streaming prefix) consume an XML dump directly — the reference user's
+    * actual input. `html` is the raw markup bytes; the golden `text`
+    * column is derived with the SAME pure chain the pipeline's extraction
+    * stage applies ([[graft.ingest.TextExtract.textFromHtml]]), so the
+    * byte-identity invariant holds by construction. Articles only (ns 0 —
+    * the reference's page-parser input); `crawlTs` stamps the capture. */
+  def pagesFromDump(spark: SparkSession, path: String,
+                    crawlTs: java.sql.Timestamp,
+                    lang: String = "en"): DataFrame = {
+    val html = encode(col("markup"), "UTF-8")
+    readPages(spark, path)
+      .filter(col("ns") === "0")
+      .select(
+        resourceIri(col("title")).as("url"),
+        lit(crawlTs).as("warc_ts"),
+        html.as("html"),
+        graft.ingest.TextExtract.textFromHtml(html).as("text"),
+        lit(lang).as("lang"))
+  }
+
   /** The reference's page key (`xml_parser.py:16`:
     * `name2resource_iri(label2name(title))` — spaces to underscores, then
     * the percent-encoded resource IRI our NT codec already implements). */

@@ -96,6 +96,29 @@ class XmlDumpSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("pagesFromDump yields the north-rule page table; invariant holds") {
+    graft.core.Normalize.register(spark)
+    val dir = SparkSuite.tempDir("graft-xml-pages")
+    val f = java.nio.file.Paths.get(dir, "dump.xml")
+    java.nio.file.Files.write(f, dump.getBytes("UTF-8"))
+    val ts = java.sql.Timestamp.valueOf("2026-08-01 00:00:00")
+    val pages = XmlDumpSource.pagesFromDump(spark, f.toString, ts)
+    // names + types must match the north-rule schema (lit() columns are
+    // non-nullable, which is a strictly stronger contract)
+    assert(pages.schema.map(f => (f.name, f.dataType)) ==
+           graft.streaming.StreamingIngest.pageSchema.map(f => (f.name, f.dataType)))
+    // articles only (ns 0)
+    val rows = pages.select("url", "text").as[(String, String)].collect()
+    assert(rows.toSeq == Seq((
+      "http://graft.example.org/resource/Alan_Turing",
+      "pioneer & computing"))) // tags stripped AFTER entity-encoded markup decodes
+    // the extraction invariant: the pipeline stage re-derives exactly text
+    val ext = graft.ingest.TextExtract.extract(pages)
+      .as[(String, String)].collect().toMap
+    pages.select("url", "text").as[(String, String)].collect()
+      .foreach { case (u, t) => assert(ext(u) == t) }
+  }
+
   test("resourceIri matches the reference's title → IRI mapping") {
     graft.core.Normalize.register(spark)
     val iri = Seq("Alan Turing").toDF("t")
