@@ -114,6 +114,32 @@ object NifSource {
   def readContexts(spark: SparkSession, path: String): DataFrame =
     contexts(parseRaw(spark.read.text(path)))
 
+  /** Adapt a NIF dump to the north-rule page table
+    * (url, warc_ts, html, text, lang) so [[graft.Pipeline.run]] consumes a
+    * NIF corpus directly. The context plaintext becomes the golden `text`;
+    * `html` is the text re-ESCAPED (& < > → entities) so that the
+    * pipeline's pure extraction chain
+    * ([[graft.ingest.TextExtract.textFromHtml]]: strip tags, decode
+    * entities) inverts it exactly — the byte-identity invariant holds by
+    * construction. url prefers the dump's `nif:sourceUrl`, falling back to
+    * the resource IRI. */
+  def pagesFromNif(spark: SparkSession, path: String,
+                   crawlTs: java.sql.Timestamp,
+                   lang: String = "en"): DataFrame = {
+    val text = plainText(col("text"))
+    val escaped = regexp_replace(regexp_replace(regexp_replace(
+      text, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    readContexts(spark, path).select(
+      coalesce(col("source_url"),
+        concat(lit("http://graft.example.org/resource/"),
+               graft.core.NtCodec.encodeResourceName(col("resource"))))
+        .as("url"),
+      lit(crawlTs).as("warc_ts"),
+      encode(escaped, "UTF-8").as("html"),
+      text.as("text"),
+      lit(lang).as("lang"))
+  }
+
   /** The reference's end-to-end NIF wiring (`nif_parser.py:18-45`
     * `extract_wiki_corpus_resources`): dump file → contexts → bracket/
     * newline cleanup → Hearst corpus counts, i.e. the wiki-side hypernym

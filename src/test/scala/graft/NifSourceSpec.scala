@@ -98,6 +98,25 @@ class NifSourceSpec extends SparkSuite {
       ("realm", "ruler", 1L)))
   }
 
+  test("pagesFromNif yields the north-rule page table; invariant holds") {
+    graft.core.Normalize.register(spark)
+    val dir = SparkSuite.tempDir("graft-nif") + "/nifp"
+    // doc 2 carries & < " \ — the escape/extract inversion must be exact
+    NifQueries.contextLines(
+      docs.withColumn("text", concat(col("text"), lit(" & <tag> done")))
+    ).coalesce(1).write.text(dir)
+    val ts = java.sql.Timestamp.valueOf("2026-08-01 00:00:00")
+    val pages = NifSource.pagesFromNif(spark, dir, ts)
+    assert(pages.schema.map(f => (f.name, f.dataType)) ==
+           graft.streaming.StreamingIngest.pageSchema.map(f => (f.name, f.dataType)))
+    val ext = graft.ingest.TextExtract.extract(pages)
+      .as[(String, String)].collect().toMap
+    val golden = pages.select("url", "text").as[(String, String)].collect()
+    assert(golden.nonEmpty)
+    golden.foreach { case (u, t) => assert(ext(u) == t, u) }
+    assert(golden.forall(_._1.startsWith("http://example.org/page/")))
+  }
+
   test("foreign namespaces: non-NIF predicates are pruned, IRIs verbatim") {
     val extra = Seq(
       "<http://x.org/a?nif=context> <http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#isString> \"hello world\"@en .",
