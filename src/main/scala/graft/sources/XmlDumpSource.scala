@@ -66,15 +66,18 @@ object XmlDumpSource {
     * column is derived with the SAME pure chain the pipeline's extraction
     * stage applies ([[graft.ingest.TextExtract.textFromHtml]]), so the
     * byte-identity invariant holds by construction. Articles only (ns 0 —
-    * the reference's page-parser input); `crawlTs` stamps the capture. */
+    * the reference's page-parser input); `crawlTs` stamps the capture.
+    * `urlOf` maps the page title to the url key (default: the reference's
+    * resource IRI; pass identity when titles already are urls). */
   def pagesFromDump(spark: SparkSession, path: String,
                     crawlTs: java.sql.Timestamp,
-                    lang: String = "en"): DataFrame = {
+                    lang: String = "en",
+                    urlOf: Column => Column = resourceIri): DataFrame = {
     val html = encode(col("markup"), "UTF-8")
     readPages(spark, path)
       .filter(col("ns") === "0")
       .select(
-        resourceIri(col("title")).as("url"),
+        urlOf(col("title")).as("url"),
         lit(crawlTs).as("warc_ts"),
         html.as("html"),
         graft.ingest.TextExtract.textFromHtml(html).as("text"),

@@ -119,6 +119,34 @@ class XmlDumpSourceSpec extends SparkSuite {
       .foreach { case (u, t) => assert(ext(u) == t) }
   }
 
+  test("dump file in → KG out: identical triples to the direct-table run") {
+    graft.core.Normalize.register(spark)
+    val world = graft.testkit.CorpusGen.default
+    def esc(s: String) =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    // the dump is per-language (like the real export), so only en pages go
+    // in; the direct run drops non-en via the extraction lang filter anyway
+    val xml = world.pages.filter(_.lang == "en").map { p =>
+      val markup = new String(p.html, "UTF-8")
+      s"  <page>\n    <title>${esc(p.url)}</title>\n    <ns>0</ns>\n" +
+        s"    <revision><text>${esc(markup)}</text></revision>\n  </page>"
+    }.mkString("<mediawiki>\n", "\n", "\n</mediawiki>\n")
+    val dir = SparkSuite.tempDir("graft-xml-kg")
+    val f = java.nio.file.Paths.get(dir, "dump.xml")
+    java.nio.file.Files.write(f, xml.getBytes("UTF-8"))
+    val ts = java.sql.Timestamp.valueOf("2026-08-01 00:00:00")
+    val dumpPages = XmlDumpSource.pagesFromDump(
+      spark, f.toString, ts, urlOf = identity)
+    val seeds = world.seeds(spark)
+    val viaDump = graft.Pipeline.run(spark, dumpPages, seeds, s"$dir/outA")
+    val direct = graft.Pipeline.run(
+      spark, world.pages.toDS().toDF(), seeds, s"$dir/outB")
+    val key = Seq("subj", "pred", "obj", "is_literal")
+    assert(viaDump.join(direct, key, "left_anti").count() == 0)
+    assert(direct.join(viaDump, key, "left_anti").count() == 0)
+    assert(viaDump.count() == direct.count() && viaDump.count() > 0)
+  }
+
   test("resourceIri matches the reference's title → IRI mapping") {
     graft.core.Normalize.register(spark)
     val iri = Seq("Alan Turing").toDF("t")
