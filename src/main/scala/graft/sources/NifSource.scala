@@ -155,4 +155,14 @@ object NifSource {
   /** File entry point: NIF N-Triples file(s) → phrase-annotation rows. */
   def readMentions(spark: SparkSession, path: String): DataFrame =
     mentions(parseRaw(spark.read.text(path)))
+
+  /** Surface-form frequencies from linked phrase annotations — the A2
+    * shape (alias, ent, cnt) the alias dictionary and the reference's
+    * `get_surface_form_references` gate consume (anchor texts of linked
+    * mentions ARE the surface forms). One count shuffle with map-side
+    * combine. */
+  def surfaceForms(mentionRows: DataFrame): DataFrame =
+    mentionRows.filter(col("entity").isNotNull)
+      .groupBy(col("anchor_of").as("alias"), col("entity").as("ent"))
+      .agg(count(lit(1)).as("cnt"))
 }
