@@ -20,12 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object TextExtract {
 
-  /** The pure html→text chain on a binary column — the single definition
+  /** The pure html→text chain on a STRING column — the single definition
     * both [[extract]] and adapters deriving the golden `text` column use
     * (same expressions ⇒ the byte-identity invariant holds by
     * construction). */
-  def textFromHtml(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val htmlStr = decode(html, "UTF-8")
+  def textFromHtmlStr(htmlStr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val noTags = regexp_replace(htmlStr, "<[^>]*>", "")
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       noTags,
@@ -34,6 +33,10 @@ object TextExtract {
       "&nbsp;", " "),
       "&amp;", "&")
   }
+
+  /** Binary-column form of [[textFromHtmlStr]] (the page table's `html`). */
+  def textFromHtml(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    textFromHtmlStr(decode(html, "UTF-8"))
 
   /** pages(url, warc_ts, html, text, lang) → (url, text) for lang='en',
     * where text is re-derived from html (NOT taken from the input column —

@@ -122,7 +122,9 @@ object NifSource {
     * ([[graft.ingest.TextExtract.textFromHtml]]: strip tags, decode
     * entities) inverts it exactly — the byte-identity invariant holds by
     * construction. url prefers the dump's `nif:sourceUrl`, falling back to
-    * the resource IRI. */
+    * the resource IRI. NOTE: the pipeline's extraction stage keeps
+    * lang='en' only — pass a different `lang` only when the downstream
+    * filter is widened too, or the run silently emits nothing. */
   def pagesFromNif(spark: SparkSession, path: String,
                    crawlTs: java.sql.Timestamp,
                    lang: String = "en"): DataFrame = {
@@ -131,9 +133,7 @@ object NifSource {
       text, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
     readContexts(spark, path).select(
       coalesce(col("source_url"),
-        concat(lit("http://graft.example.org/resource/"),
-               graft.core.NtCodec.encodeResourceName(col("resource"))))
-        .as("url"),
+               XmlDumpSource.resourceIri(col("resource"))).as("url"),
       lit(crawlTs).as("warc_ts"),
       encode(escaped, "UTF-8").as("html"),
       text.as("text"),
@@ -156,13 +156,22 @@ object NifSource {
   def readMentions(spark: SparkSession, path: String): DataFrame =
     mentions(parseRaw(spark.read.text(path)))
 
-  /** Surface-form frequencies from linked phrase annotations — the A2
-    * shape (alias, ent, cnt) the alias dictionary and the reference's
-    * `get_surface_form_references` gate consume (anchor texts of linked
-    * mentions ARE the surface forms). One count shuffle with map-side
-    * combine. */
-  def surfaceForms(mentionRows: DataFrame): DataFrame =
+  /** Linked phrase annotations → the alias-table shape
+    * [[graft.link.AliasLink.buildDict]] consumes directly
+    * (alias, ent, freq, is_hot): anchor texts of linked mentions are the
+    * reference's surface-form references; `freq` is the per-alias link
+    * share P(ent | anchor); `is_hot` flags aliases whose total mention
+    * count reaches `hotCount` (the salted-shuffle skew knob). One count
+    * shuffle with map-side combine plus an alias-keyed window over the
+    * counted (small) frame. */
+  def surfaceForms(mentionRows: DataFrame,
+                   hotCount: Long = 1000000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("alias")
     mentionRows.filter(col("entity").isNotNull)
       .groupBy(col("anchor_of").as("alias"), col("entity").as("ent"))
       .agg(count(lit(1)).as("cnt"))
+      .select(col("alias"), col("ent"),
+        (col("cnt") / sum("cnt").over(w)).as("freq"),
+        (sum("cnt").over(w) >= hotCount).as("is_hot"))
+  }
 }

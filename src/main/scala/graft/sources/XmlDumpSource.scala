@@ -68,21 +68,24 @@ object XmlDumpSource {
     * byte-identity invariant holds by construction. Articles only (ns 0 —
     * the reference's page-parser input); `crawlTs` stamps the capture.
     * `urlOf` maps the page title to the url key (default: the reference's
-    * resource IRI; pass identity when titles already are urls). */
+    * resource IRI; pass identity when titles already are urls). NOTE: the
+    * pipeline's extraction stage keeps lang='en' only — pass a different
+    * `lang` only when the downstream filter is widened too, or the run
+    * silently emits nothing. */
   def pagesFromDump(spark: SparkSession, path: String,
                     crawlTs: java.sql.Timestamp,
                     lang: String = "en",
-                    urlOf: Column => Column = resourceIri): DataFrame = {
-    val html = encode(col("markup"), "UTF-8")
+                    urlOf: Column => Column = resourceIri): DataFrame =
     readPages(spark, path)
       .filter(col("ns") === "0")
       .select(
         urlOf(col("title")).as("url"),
         lit(crawlTs).as("warc_ts"),
-        html.as("html"),
-        graft.ingest.TextExtract.textFromHtml(html).as("text"),
+        encode(col("markup"), "UTF-8").as("html"),
+        // text derives from the markup STRING directly — no per-row
+        // encode→decode round trip over whole-article markup
+        graft.ingest.TextExtract.textFromHtmlStr(col("markup")).as("text"),
         lit(lang).as("lang"))
-  }
 
   /** The reference's page key (`xml_parser.py:16`:
     * `name2resource_iri(label2name(title))` — spaces to underscores, then

@@ -50,11 +50,12 @@ class NifSourceSpec extends SparkSuite {
       ("0", "a", 0L, 1L, "a"),
       ("1", "dogs", 0L, 4L, "dogs"),
       ("2", "quoted", 0L, 6L, "quoted")))
-    // linked anchors roll up to the A2 surface-form shape the dict consumes
+    // linked anchors roll up to the EXACT alias-table shape buildDict eats
     val sf = NifSource.surfaceForms(NifSource.readMentions(spark, dir))
-      .as[(String, String, Long)].collect().toSet
-    assert(sf == Set(("a", "a", 1L), ("dogs", "dogs", 1L),
-                     ("quoted", "quoted", 1L)))
+    assert(sf.as[(String, String, Double, Boolean)].collect().toSet ==
+      Set(("a", "a", 1.0, false), ("dogs", "dogs", 1.0, false),
+          ("quoted", "quoted", 1.0, false)))
+    assert(graft.link.AliasLink.buildDict(sf).count() == 3) // consumable as-is
   }
 
   test("Hearst counts over NIF contexts == counts over squashed raw text") {

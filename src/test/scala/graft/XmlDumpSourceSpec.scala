@@ -141,10 +141,11 @@ class XmlDumpSourceSpec extends SparkSuite {
     val viaDump = graft.Pipeline.run(spark, dumpPages, seeds, s"$dir/outA")
     val direct = graft.Pipeline.run(
       spark, world.pages.toDS().toDF(), seeds, s"$dir/outB")
-    val key = Seq("subj", "pred", "obj", "is_literal")
-    assert(viaDump.join(direct, key, "left_anti").count() == 0)
-    assert(direct.join(viaDump, key, "left_anti").count() == 0)
-    assert(viaDump.count() == direct.count() && viaDump.count() > 0)
+    // multiset-exact: exceptAll respects duplicate multiplicities, which a
+    // pair of anti-joins plus a total-count check would not
+    assert(viaDump.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(viaDump).count() == 0)
+    assert(viaDump.count() > 0)
   }
 
   test("resourceIri matches the reference's title → IRI mapping") {
