@@ -45,6 +45,7 @@ object SparkEntry {
     "ontology_axiom_facts"  -> (KgQueries.axiomFactsQuery _),
     "ontology_classes"      -> (KgQueries.ontologyClassesQuery _),
     "ontology_mappings"     -> (KgQueries.ontologyMappingsQuery _),
+    "kg_external_export"    -> (KgQueries.externalExportQuery _),
     "f7_table_grid"         -> (MiningQueries.f7TableGrid _),
     "u2_set_difference"     -> (Relational.setDifference _),
     "g2_type_closure"       -> (Relational.typeClosure _),
@@ -73,6 +74,9 @@ object SparkEntry {
     "text_fingerprint"        -> (TextOps.fingerprint _),
     "text_repetition"         -> (TextOps.repetition _),
     "text_pii_scrub"          -> (TextOps.piiScrub _),
+    "sample_mix_weighted"     -> (Sampling.mixQuery _),
+    "sample_split_assign"     -> (Sampling.splitQuery _),
+    "sample_cap_per_source"   -> (Sampling.capQuery _),
     "mm_decode_meta" -> (graft.multimodal.MultimodalQueries.decodeMeta _),
     "stream_window_counts" -> ((s, d) =>
       graft.streaming.Streams.windowedCounts(graft.core.Tables.events(s, d))),
@@ -226,6 +230,7 @@ object SparkEntry {
     "ontology_axiom_facts"   -> KgQueries.axiomFactsOracle,
     "ontology_classes"       -> KgQueries.ontologyClassesOracle,
     "ontology_mappings"      -> KgQueries.ontologyMappingsOracle,
+    "kg_external_export"     -> KgQueries.externalExportOracle,
     "f7_table_grid"          -> MiningQueries.f7TableGridSql,
     "dedup_exact"            -> Dedup.exactDedupSql,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccardSql,
@@ -248,6 +253,9 @@ object SparkEntry {
     "text_fingerprint"       -> TextOps.fingerprintSql,
     "text_repetition"        -> TextOps.repetitionSql,
     "text_pii_scrub"         -> TextOps.piiScrubSql,
+    "sample_mix_weighted"    -> Sampling.mixSql,
+    "sample_split_assign"    -> Sampling.splitSql,
+    "sample_cap_per_source"  -> Sampling.capSql,
     "mm_decode_meta" -> graft.multimodal.MultimodalQueries.decodeMetaSql,
     "stream_window_counts"   -> graft.streaming.Streams.windowedCountsSql,
     "stream_sessionize"      -> graft.streaming.Streams.sessionizeSql,

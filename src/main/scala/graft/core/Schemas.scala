@@ -65,6 +65,8 @@ object Schemas {
   /** Well-known resource objects (`serialize.py:85-146` RdfClass.*). */
   object Objs {
     val OwlClass = "owl:Class"
+    /** ≙ RdfClass.OWL_NAMED_INDIVIDUAL (`serialize.py:245`). */
+    val OwlNamedIndividual = "owl:NamedIndividual"
     val OwlRestriction = "owl:Restriction"
     val OwlObjectProperty = "owl:ObjectProperty"
     val VoidDataset = "void:Dataset"

@@ -238,6 +238,104 @@ object KgQueries {
        UNION ALL SELECT 'c'||c_custkey, 'owl:sameAs', 'dbr:C'||c_custkey,
               false FROM customer WHERE c_custkey % 7 = 0"""
 
+  /** External-KB export (the five "DBpedia-side" flavors,
+    * [[graft.emit.ExternalKbExport]], ≙ serialize.py:240-302) as ONE oracle
+    * row: customers are entities (every 3rd is NEW), nations are direct
+    * types, regions their ancestors; the external taxonomy mirrors both
+    * levels (xn/xr), every-2nd linked entity's region typing is already
+    * seed-known (exercising the subtraction), every-5th relation object is
+    * itself a new entity (object re-namespacing), and every-4th relation is
+    * seed-known (the containment skip — which must NOT fire when subject or
+    * object is new). */
+  def externalExportQuery(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d).select(
+      when(col("c_custkey") % 3 === 0,
+           concat(lit("new:c"), col("c_custkey")))
+        .otherwise(concat(lit("c"), col("c_custkey"))).as("ent"),
+      col("c_custkey").as("k"), col("c_name").as("label"),
+      col("c_nationkey").as("nk"))
+    val nat = Tables.nation(s, d).select(col("n_nationkey").as("nk"),
+                                         col("n_regionkey").as("rk"))
+    val base = cust.join(nat, "nk")
+    val labels = base.select("ent", "label")
+    val direct = base.select(col("ent"),
+                             concat(lit("n"), col("nk")).as("tpe"))
+    val all = direct.unionByName(
+      base.select(col("ent"), concat(lit("r"), col("rk")).as("tpe")))
+    val typeMap = nat
+      .select(concat(lit("n"), col("nk")).as("tpe"),
+              concat(lit("xn"), col("nk")).as("ext"))
+      .unionByName(nat.select(concat(lit("r"), col("rk")).as("tpe"),
+                              concat(lit("xr"), col("rk")).as("ext"))
+                     .distinct())
+    val extClosure = nat
+      .select(concat(lit("xn"), col("nk")).as("node"),
+              concat(lit("xn"), col("nk")).as("anc"))
+      .unionByName(nat.select(concat(lit("xn"), col("nk")).as("node"),
+                              concat(lit("xr"), col("rk")).as("anc")))
+      .unionByName(nat.select(concat(lit("xr"), col("rk")).as("node"),
+                              concat(lit("xr"), col("rk")).as("anc"))
+                     .distinct())
+    val seedExt = base.filter(col("k") % 3 =!= 0 && col("k") % 2 === 0)
+      .select(col("ent"), concat(lit("xr"), col("rk")).as("ext"))
+    val rels = base.select(
+      col("ent"), lit("clg:locatedIn").as("pred"),
+      when(col("k") % 5 === 0, concat(lit("new:n"), col("nk")))
+        .otherwise(concat(lit("n:"), col("nk"))).as("obj"))
+    val predMap = Seq(("clg:locatedIn", "dbo:location")).toDF("pred", "ext")
+    val seedRel = base.filter(col("k") % 4 === 0)
+      .select(concat(lit("c"), col("k")).as("sub"),
+              lit("dbo:location").as("pred"),
+              concat(lit("n:"), col("nk")).as("obj"))
+    graft.emit.ExternalKbExport.exportAll(
+      labels, direct, all, rels, typeMap, extClosure, seedExt, predMap,
+      seedRel, "ext:")
+  }
+
+  val externalExportOracle: String =
+    """WITH cust AS (
+         SELECT CASE WHEN c_custkey%3=0 THEN 'new:c'||c_custkey
+                     ELSE 'c'||c_custkey END AS ent,
+                c_custkey AS k, c_name AS label, c_nationkey AS nk
+         FROM customer),
+       nat AS (SELECT n_nationkey AS nk, n_regionkey AS rk FROM nation),
+       base AS (SELECT * FROM cust JOIN nat USING (nk)),
+       newinst AS (
+         SELECT 'ext:'||substr(ent,5) AS subj, 'rdf:type' AS pred,
+                'owl:NamedIndividual' AS obj, false AS is_literal
+         FROM base WHERE ent LIKE 'new:%'
+         UNION ALL
+         SELECT 'ext:'||substr(ent,5), 'rdfs:label', label, true
+         FROM base WHERE ent LIKE 'new:%'),
+       exttypes AS (
+         SELECT CASE WHEN ent LIKE 'new:%' THEN 'ext:'||substr(ent,5)
+                     ELSE ent END AS subj,
+                'rdf:type' AS pred, x AS obj, false AS is_literal
+         FROM (SELECT ent, 'xn'||nk AS x FROM base
+               UNION ALL
+               SELECT ent, 'xr'||rk FROM base
+               WHERE NOT (k%3<>0 AND k%2=0)) u),
+       localdirect AS (
+         SELECT ent AS subj, 'rdf:type' AS pred, 'n'||nk AS obj,
+                false AS is_literal
+         FROM base WHERE k%3<>0),
+       localtrans AS (
+         SELECT ent AS subj, 'rdf:type' AS pred, 'r'||rk AS obj,
+                false AS is_literal
+         FROM base WHERE k%3<>0),
+       relsx AS (
+         SELECT CASE WHEN ent LIKE 'new:%' THEN 'ext:'||substr(ent,5)
+                     ELSE ent END AS subj,
+                'dbo:location' AS pred,
+                CASE WHEN k%5=0 THEN 'ext:n'||nk ELSE 'n:'||nk END AS obj,
+                false AS is_literal
+         FROM base WHERE NOT (k%4=0 AND k%3<>0 AND k%5<>0))
+       SELECT * FROM newinst UNION ALL SELECT * FROM exttypes
+       UNION ALL SELECT * FROM localdirect
+       UNION ALL SELECT * FROM localtrans
+       UNION ALL SELECT * FROM relsx"""
+
   val alignmentEdgesOracle: String =
     """WITH m AS (SELECT 'm'||p_partkey AS mention_id,
                   'Widget '||(p_partkey % 300) AS label FROM part),
