@@ -39,8 +39,7 @@ object ExternalKbExport {
 
   private def asTriple(subj: Column, pred: String, obj: Column,
                        isLit: Boolean)(df: DataFrame): DataFrame =
-    df.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj"),
-              lit(isLit).as("is_literal"))
+    TripleEmit.asTriple(subj, pred, obj, isLit)(df)
 
   /** dbpedia_instances (≙ serialize.py:240-247): every NEW entity
     * materializes in the external namespace as an owl:NamedIndividual with

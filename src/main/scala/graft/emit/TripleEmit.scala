@@ -78,10 +78,10 @@ object TripleEmit {
 
   // — ontology-side serialization flavors (r3 VERDICT missing #2) —
 
-  private def asTriple(subj: org.apache.spark.sql.Column,
-                       pred: String,
-                       obj: org.apache.spark.sql.Column,
-                       isLit: Boolean)(df: DataFrame): DataFrame =
+  private[emit] def asTriple(subj: org.apache.spark.sql.Column,
+                             pred: String,
+                             obj: org.apache.spark.sql.Column,
+                             isLit: Boolean)(df: DataFrame): DataFrame =
     df.select(subj.as("subj"), lit(pred).as("pred"), obj.as("obj"),
               lit(isLit).as("is_literal"))
 

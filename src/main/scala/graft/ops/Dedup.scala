@@ -151,8 +151,7 @@ object Dedup {
     * in Spark and DuckDB). 32-bit id collisions perturb a minhash
     * identically on both sides, so oracle parity is unaffected. */
   private def sidCol: Column =
-    conv(substring(md5(to_binary(col("shingle"), lit("utf-8"))), 1, 8),
-         16, 10).cast("long")
+    graft.core.PortableHash.md5PrefixLong(col("shingle"), 8)
 
   private val sidSql =
     "('0x' || substring(md5(shingle), 1, 8))::BIGINT"
@@ -259,8 +258,7 @@ object Dedup {
   def simhash(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     // 24-bit sid: the 32-bit one overflows Long under the Knuth multiplier
-    val sid24 = conv(substring(md5(to_binary(col("shingle"), lit("utf-8"))),
-                               1, 6), 16, 10).cast("long")
+    val sid24 = graft.core.PortableHash.md5PrefixLong(col("shingle"), 6)
     // two independent 32-bit mixes -> 64 bit positions
     val dsh = sh.select(col("doc_id"), sid24.as("sid"))
       .select(col("doc_id"),

@@ -23,9 +23,8 @@ object Sampling {
     * md5(key ++ salt). Portable: DuckDB spells it
     * `('0x'||substr(md5(key||salt),1,4))::BIGINT`. */
   def bucket16(key: Column, salt: String): Column =
-    conv(substring(md5(to_binary(concat(key.cast("string"), lit(salt)),
-                                 lit("utf-8"))), 1, 4), 16, 10)
-      .cast("long")
+    graft.core.PortableHash.md5PrefixLong(
+      concat(key.cast("string"), lit(salt)), 4)
 
   /** Weighted source mixing (the data-mixing pass before training: keep
     * each document with its source's sampling weight in [0,1]).
