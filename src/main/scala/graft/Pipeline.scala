@@ -126,14 +126,8 @@ object Pipeline {
     // checkpointed per url first: the url-keyed table is the materialized
     // view [[runDelta]] maintains with a url-keyed row drop instead of
     // re-parsing dropped prose; the global aggregate is its rollup.
-    val hypByUrl = locally {
-      val sp = spark
-      import sp.implicits._
-      runner.run("hypernyms_by_url") {
-        graft.mine.Hearst.corpusCountsByUrl(
-          pagesText.select("url", "text").as[(String, String)])
-      }
-    }
+    val hypByUrl =
+      runner.run("hypernyms_by_url") { hearstCountsByUrl(pagesText) }
     runner.run("hypernyms") {
       hypByUrl.groupBy("sub", "obj").agg(sum("cnt").as("cnt"))
     }
@@ -198,18 +192,22 @@ object Pipeline {
               "compatible canonicalization mode (pre-manifest or other-mode " +
               "outDirs cannot seed a delta; run full once)")
     // seeds contract: the recorded fingerprint must match (carried
-    // pages_text/linked_all rows silently mix stale semantics otherwise)
+    // pages_text/linked_all rows silently mix stale semantics otherwise).
+    // localCheckpoint so the seed tables are scanned ONCE: the comparison
+    // collect and the seeds_fp stage write both read the 6-row checkpoint
+    // instead of re-aggregating every seed table (aliases is the largest
+    // seed input — at scale this halves the delta's seed-scan bill)
     locally {
+      val curFpDf = seedsFingerprint(spark, seeds).localCheckpoint()
       val prevFp = spark.read.parquet(s"$prevDir/seeds_fp")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val curFp = seedsFingerprint(spark, seeds)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val curFp = curFpDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       require(prevFp == curFp,
               s"runDelta: seed tables differ from prevDir's recorded " +
               s"fingerprint (prev=$prevFp, current=$curFp) — carried links " +
               "would be stale; run full on a fresh outDir instead")
+      runner.run("seeds_fp") { curFpDf }
     }
-    runner.run("seeds_fp") { seedsFingerprint(spark, seeds) }
     val prevManifest = spark.read.parquet(s"$prevDir/crawl_manifest")
     // carried url-keyed tables resolve through their layer chain (a prevDir
     // that is itself a delta outDir holds LAYERS, not materialized tables)
@@ -276,14 +274,8 @@ object Pipeline {
     // to 0 drop out, so the result is EXACTLY the full-run aggregate
     // (asserted by DeltaSpec).
     val prevHypByUrl = StageRunner.read(spark, s"$prevDir/hypernyms_by_url")
-    val freshHypByUrl = locally {
-      val sp = spark
-      import sp.implicits._
-      runner.run("hypernyms_by_url_fresh") {
-        graft.mine.Hearst.corpusCountsByUrl(
-          freshText.select("url", "text").as[(String, String)])
-      }
-    }
+    val freshHypByUrl =
+      runner.run("hypernyms_by_url_fresh") { hearstCountsByUrl(freshText) }
     runner.runCarried("hypernyms_by_url", prevDir, Seq("url"), dropUrls,
                       s"$outDir/hypernyms_by_url_fresh")
     runner.run("hypernyms") {
@@ -317,25 +309,46 @@ object Pipeline {
     pages.filter(col("lang") === "en")
       .select(col("url"), col("warc_ts"), xxhash64(col("html")).as("content_fp"))
 
-  /** Order-independent fingerprint of every seed table: bit_xor of per-row
-    * xxhash64, mixed with the row count (commutative, overflow-free,
-    * partitioning-invariant). Recorded at run time; [[runDelta]] refuses to
-    * carry state across a seeds change. */
+  /** Order-independent, multiset-sensitive fingerprint of every seed
+    * table: SUM of per-row xxhash64 (as decimal(38,0) — wide enough for
+    * any row count, and ANSI-safe where a Long sum could overflow-throw),
+    * mixed with the row count. bit_xor was multiset-BLIND: even-
+    * multiplicity duplicate-row swaps ({A,A,C} → {B,B,C}) cancelled to the
+    * same xor, so a changed seed dump could slip past [[runDelta]]'s
+    * staleness guard. Nulls coalesce to a per-column marker so a value
+    * shifting position across columns cannot alias (xxhash64 folds null
+    * fields without a position contribution). Partitioning-invariant;
+    * recorded at run time; [[runDelta]] refuses to carry across a change. */
   private def seedsFingerprint(spark: SparkSession, seeds: Seeds): DataFrame = {
     def one(name: String, df: DataFrame): DataFrame =
       if (df == null)
         spark.range(1).select(lit(name).as("tbl"), lit(0L).as("fp"))
-      else
-        df.select(xxhash64(df.columns.map(col): _*).as("h"))
-          .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
+      else {
+        val marked = df.columns.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0000")))
+        df.select(xxhash64(marked: _*).as("h"))
+          .agg(coalesce(sum(col("h").cast("decimal(38,0)")),
+                        lit(0).cast("decimal(38,0)")).as("x"),
                count(lit(1)).as("n"))
-          .select(lit(name).as("tbl"), xxhash64(col("x"), col("n")).as("fp"))
+          .select(lit(name).as("tbl"),
+                  xxhash64(col("x").cast("string"), col("n")).as("fp"))
+      }
     one("aliases", seeds.aliases)
       .unionByName(one("entity_types", seeds.entityTypes))
       .unionByName(one("taxonomy_edges", seeds.taxonomyEdges))
       .unionByName(one("disjoint_pairs", seeds.disjointPairs))
       .unionByName(one("seed_relations", seeds.seedRelations))
       .unionByName(one("redirects", seeds.redirects))
+  }
+
+  /** The Hearst per-url projection shared by [[run]] (full corpus) and
+    * [[runDelta]] (fresh slice) — one definition so the full and delta
+    * paths cannot desynchronize on the hypernyms_by_url view's input. */
+  private def hearstCountsByUrl(pages: DataFrame): DataFrame = {
+    val sp = pages.sparkSession
+    import sp.implicits._
+    graft.mine.Hearst.corpusCountsByUrl(
+      pages.select("url", "text").as[(String, String)])
   }
 
   /** Broadcast-hint a delta key set only while it is actually small
@@ -347,9 +360,11 @@ object Pipeline {
   private def hintSmall(df: DataFrame): DataFrame = {
     val max = df.sparkSession.conf
       .get("graft.delta.maxBroadcastKeys", MaxBroadcastKeys.toString).toLong
-    if (max > 0 &&
-        df.limit(math.min(max + 1, Int.MaxValue.toLong).toInt).count() <= max)
-      broadcast(df)
+    // probe limit is computed min-first: `max + 1` on Long.MaxValue wraps
+    // negative and .toInt would yield a limit(0) that "proves" every frame
+    // small — the exact OOM this guard exists to prevent
+    val probeRows = (math.min(max, Int.MaxValue.toLong - 1) + 1).toInt
+    if (max > 0 && df.limit(probeRows).count() <= max) broadcast(df)
     else df
   }
 

@@ -179,6 +179,32 @@ class DeltaSpec extends SparkSuite {
     assert(pr.precision == 1.0 && pr.recall == 1.0, s"ED-delta drift: $pr")
   }
 
+  test("a seeds change between runs refuses to carry (incl. multiset swaps)") {
+    val v2 = world.pages
+    val (v1, _, _) = previousCrawl(v2)
+    // inert extra aliases (match no mention) so only the fingerprint sees
+    // them; DUPLICATED rows make the adversarial case: {A,A} -> {B,B} keeps
+    // the row count and cancels under a xor-of-hashes fingerprint (even
+    // multiplicity), so only a multiset-sensitive fingerprint refuses
+    def withExtraAliases(rows: Seq[(String, String, Long, Boolean)]) =
+      seeds.copy(aliases = seeds.aliases.unionByName(
+        rows.toDF("alias", "ent", "freq", "is_hot")))
+    val dupA = withExtraAliases(Seq(("zz dup a", "Zzz_A", 1L, false),
+                                    ("zz dup a", "Zzz_A", 1L, false)))
+    val dupB = withExtraAliases(Seq(("zz dup b", "Zzz_B", 1L, false),
+                                    ("zz dup b", "Zzz_B", 1L, false)))
+    val prevDir = SparkSuite.tempDir("graft-delta-seedfp-prev")
+    Pipeline.run(spark, v1.toDS().toDF(), dupA, prevDir)
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.runDelta(spark, v2.toDS().toDF(), dupB,
+                        SparkSuite.tempDir("graft-delta-seedfp-o1"), prevDir)
+    }
+    assert(e.getMessage.contains("seed tables differ"))
+    // unchanged seeds (same duplicated rows) must still carry
+    Pipeline.runDelta(spark, v2.toDS().toDF(), dupA,
+                      SparkSuite.tempDir("graft-delta-seedfp-o2"), prevDir)
+  }
+
   test("runDelta refuses to run in place (outDir == prevDir)") {
     val v = world.pages
     val d = SparkSuite.tempDir("graft-delta-inplace")
