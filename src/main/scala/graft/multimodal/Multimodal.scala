@@ -102,21 +102,18 @@ object MediaDecoder {
     MediaMeta("bin", 0, 0, 0)
   }
 
-  /** Batched decode over (doc_id, content: binary). Batch size bounds peak
-    * decoded-buffer memory per task; a heavier decoder would init its codec
-    * once per partition here (the reason this is mapPartitions and not a
-    * per-row UDF). */
-  def decodeMeta(rows: Dataset[(Long, Array[Byte])],
-                 batchSize: Int = 64): Dataset[DecodedRow] = {
+  /** Decode over (doc_id, content: binary), one payload live at a time —
+    * the binary column dominates row size, so any buffering (a grouped()
+    * batch) RAISES peak task memory rather than bounding it. mapPartitions
+    * (not a per-row UDF) so a heavier decoder can init its codec once per
+    * partition; reintroduce batching only when a real codec needs
+    * per-batch inference calls. */
+  def decodeMeta(rows: Dataset[(Long, Array[Byte])]): Dataset[DecodedRow] = {
     import rows.sparkSession.implicits._
-    rows.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { case (id, bytes) =>
-          val m = decodeHeader(bytes)
-          DecodedRow(id, m.fmt, m.width, m.height, m.nFrames)
-        }
-      }
-    }
+    rows.mapPartitions(_.map { case (id, bytes) =>
+      val m = decodeHeader(bytes)
+      DecodedRow(id, m.fmt, m.width, m.height, m.nFrames)
+    })
   }
 
   /** Deterministic frame sampling: every `stride`-th frame index of a video

@@ -28,7 +28,12 @@ object StatefulSessions {
     sorted.foreach { e =>
       cur match {
         case Some(s) if e.ts_s - s.last <= GapSeconds =>
-          cur = Some(s.copy(last = e.ts_s, n = s.n + 1))
+          // max(): events sort only WITHIN one micro-batch, so a late event
+          // from a later batch may predate s.last — it joins the current
+          // session (the trivially-true gap test above is the documented
+          // late-data semantic) but must never move the clock backward,
+          // else the next gap test misfires and dur_s can go negative
+          cur = Some(s.copy(last = math.max(s.last, e.ts_s), n = s.n + 1))
         case Some(s) =>
           out += ClosedSession(userId, s.start, s.last - s.start, s.n)
           cur = Some(SessionState(e.ts_s, e.ts_s, 1))
@@ -59,8 +64,9 @@ object StatefulSessions {
     }
   }
 
-  /** Minimal GroupState for driver-side reuse of the state function. */
-  private class TestGroupState[S] extends GroupState[S] {
+  /** Minimal GroupState for driver-side reuse of the state function (also
+    * used by the spec to drive updateState across simulated micro-batches). */
+  private[graft] class TestGroupState[S] extends GroupState[S] {
     private var v: Option[S] = None
     override def exists: Boolean = v.isDefined
     override def get: S = v.get

@@ -47,6 +47,25 @@ class StatefulSpec extends SparkSuite {
     }
   }
 
+  test("sessionizer: a late event from a later micro-batch cannot regress the clock") {
+    import StatefulSessions._
+    // events sort only WITHIN one updateState invocation — a later
+    // micro-batch may deliver an event that predates the session's last.
+    // It must join the session without moving `last` backward: otherwise
+    // the next gap test misfires (splitting at the wrong point) and the
+    // closed session's duration goes negative.
+    val state = new StatefulSessions.TestGroupState[SessionState]
+    assert(updateState(7L, Iterator(Event(7L, 1000L, 1L)), state).isEmpty)
+    assert(updateState(7L, Iterator(Event(7L, 100L, 2L)), state).isEmpty)
+    assert(state.get == SessionState(1000L, 1000L, 2)) // late event counted, clock held
+    // 2500 is within the 1800s gap of last=1000 (NOT of the late 100):
+    // the session must continue, not close with dur_s = -900
+    assert(updateState(7L, Iterator(Event(7L, 2500L, 3L)), state).isEmpty)
+    assert(state.get == SessionState(1000L, 2500L, 3))
+    val closed = updateState(7L, Iterator(Event(7L, 9999L, 4L)), state).toSeq
+    assert(closed == Seq(ClosedSession(7L, 1000L, 1500L, 3)))
+  }
+
   test("streaming ingest dedup: dropDuplicatesWithinWatermark == batch keys") {
     val sf = "/root/testdata/sf0.001"
     val dir = SparkSuite.tempDir("graft-sdedup")
