@@ -215,12 +215,32 @@ object NtCodec {
     concat(lit("<" + PredBase),
            encodeResourceName(regexp_replace(c, "^[a-z]+:", "")), lit(">"))
 
-  /** One N-Triples line per (subj, pred, obj, is_literal) row. */
+  /** One N-Triples line per (subj, pred, obj, is_literal) row.
+    *
+    * Property-valued POSITIONS render through [[predicateIri]] so ontology
+    * declarations attach to the SAME IRI the data triples use as predicate
+    * (else `clg:locatedIn` declares as `<Base/clg%3AlocatedIn>` while data
+    * uses `<PredBase/locatedIn>` and a triplestore sees two disjoint
+    * terms). The OWL vocabulary itself identifies those positions: the
+    * subject of an owl:ObjectProperty typing or an owl:equivalentProperty
+    * mapping, and the object of owl:onProperty. equivalentProperty's
+    * OBJECT stays a resource — it names an EXTERNAL property (opaque input
+    * string in this engine) that never occurs as a predicate here, and
+    * rendering it into our predicate namespace could collide with a local
+    * predicate of the same local name. */
   def ntLine(subj: Column, pred: Column, obj: Column,
-             isLiteral: Column): Column =
+             isLiteral: Column): Column = {
+    val subjIsProperty =
+      (pred === "rdf:type" && obj === "owl:ObjectProperty") ||
+        pred === "owl:equivalentProperty"
+    val objIsProperty = pred === "owl:onProperty"
     concat(
-      resourceIri(subj), lit(" "),
+      when(subjIsProperty, predicateIri(subj)).otherwise(resourceIri(subj)),
+      lit(" "),
       predicateIri(pred), lit(" "),
-      when(isLiteral, literalWithType(obj)).otherwise(resourceIri(obj)),
+      when(isLiteral, literalWithType(obj))
+        .when(objIsProperty, predicateIri(obj))
+        .otherwise(resourceIri(obj)),
       lit(" ."))
+  }
 }

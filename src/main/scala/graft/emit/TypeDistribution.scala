@@ -52,9 +52,16 @@ object TypeDistribution {
     * cycle resolution runs upstream, G3); `root`: the tree root's type id
     * (≙ `clgo.get_type_root()`). Diamond children appear under every
     * parent, exactly like the reference's subtype recursion. */
-  def sunburst(entTypes: DataFrame, edges: DataFrame, root: String): String = {
-    val closureSelf =
-      graft.taxonomy.Disjointness.closureWithSelf(edges)
+  def sunburst(entTypes: DataFrame, edges: DataFrame, root: String): String =
+    sunburst(entTypes, edges, root,
+             graft.taxonomy.Disjointness.closureWithSelf(edges))
+
+  /** As above, with the transitive closure PASSED IN — the pipeline's emit
+    * stage already holds closureSelf (it feeds typing, axiom facts, and
+    * typeCounts), so deriving it again here would re-run the iterative
+    * closure job once per artifact. */
+  def sunburst(entTypes: DataFrame, edges: DataFrame, root: String,
+               closureSelf: DataFrame): String = {
     // taxonomy-sized collects, by design (scaladoc)
     val counts: Map[String, Long] = typeCounts(entTypes, closureSelf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

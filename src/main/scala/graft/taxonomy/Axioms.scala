@@ -46,11 +46,16 @@ object Axioms {
     * [[Disjointness.closureWithSelf]]'s (node, anc) table. */
   def axiomFacts(axioms: DataFrame, entTypes: DataFrame,
                  closureSelf: DataFrame): DataFrame = {
-    val ancestors = entTypes
-      .join(broadcast(closureSelf), entTypes("tpe") === closureSelf("node"))
-      .select(col("ent"), col("anc"))
-    ancestors
-      .join(broadcast(axioms), ancestors("anc") === axioms("tpe"))
+    // the axiom table fans out over the closure FIRST — both sides are
+    // axiom-/taxonomy-sized — so the corpus-scale entTypes joins ONCE
+    // against a small broadcast. The other order (every entity row ×
+    // all its ancestors, probe axioms after) is O(|entTypes| × depth)
+    // intermediate rows, nearly all discarded when few types carry axioms.
+    val applicable = axioms
+      .join(broadcast(closureSelf), axioms("tpe") === closureSelf("anc"))
+      .select(closureSelf("node").as("atype"), col("pred"), col("obj"))
+    entTypes
+      .join(broadcast(applicable), entTypes("tpe") === col("atype"))
       .select("ent", "pred", "obj").distinct()
   }
 }

@@ -123,6 +123,29 @@ class OntologySpec extends SparkSuite {
     assert(lines.contains(s"<${B}RestrictionHasValue_locatedIn_Country_0> " +
       s"<${O}label> " +
       "\"Restriction onProperty=locatedIn hasValue=Country 0\"@en ."))
+    // the onProperty OBJECT must be the SAME IRI data triples use as
+    // predicate — <O/locatedIn>, not a <B/clg:locatedIn> resource
+    assert(lines.contains(s"<${B}RestrictionHasValue_locatedIn_Country_0> " +
+      s"<${O}onProperty> <${O}locatedIn> ."))
+  }
+
+  test("property declarations attach to the predicate IRI, not a resource") {
+    val B = "http://graft.example.org/resource/"
+    val O = "http://graft.example.org/ontology/"
+    val decl = TripleEmit.ontologyPredicateTriples(
+      Seq("clg:locatedIn").toDF("pred"))
+    val declLines = TripleEmit.toNtLines(decl).as[String].collect().toSet
+    assert(declLines ==
+      Set(s"<${O}locatedIn> <${O}type> <${B}owl:ObjectProperty> ."))
+    val maps = TripleEmit.mappingTriples(
+      Seq.empty[(String, String)].toDF("tpe", "ext"),
+      Seq(("clg:locatedIn", "dbo:location")).toDF("pred", "ext"),
+      Seq.empty[(String, String)].toDF("ent", "ext"))
+    val mapLines = TripleEmit.toNtLines(maps).as[String].collect().toSet
+    // subject = OUR property (predicate IRI); object = the EXTERNAL name,
+    // which stays an opaque resource in this engine's namespace
+    assert(mapLines ==
+      Set(s"<${O}locatedIn> <${O}equivalentProperty> <${B}dbo:location> ."))
   }
 
   test("mapping and metadata triples take their documented shapes") {
