@@ -23,10 +23,14 @@ object Ann {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
+  /** THE dot/cosine spelling (zip_with + aggregate in strict index order —
+    * bit-identical to the oracle's list_transform+list_sum); shared with
+    * [[Dedup]]'s embedding ops so every cosine in the engine accumulates in
+    * the same order and scores stay comparable across ops. */
+  private[ops] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  private def cosine(a: Column, b: Column): Column =
+  private[ops] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Exact top-5 cosine neighbors for query vectors vec_id < 10.

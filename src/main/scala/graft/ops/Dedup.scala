@@ -34,10 +34,13 @@ object Dedup {
   val NumHashes = 8
   val BandRows = 2 // => 4 bands
 
-  /** Hot-bucket cut: an LSH band bucket holding more than MaxBucket docs is
-    * a degenerate hash collision (low-entropy corpora collide entire band
-    * buckets), not a near-dup signal — analogous to the rare-shingle df-cut.
-    * Candidate pairs are generated only inside buckets <= MaxBucket. */
+  /** Hot-bucket cap: buckets holding <= MaxBucket docs generate all pairs;
+    * LARGER buckets degrade to STAR pairing against the bucket's min doc_id
+    * (linear in bucket size). Dropping hot buckets outright would silently
+    * skip mass-duplicated templates — the dominant near-dup class in web
+    * corpora, which concentrates a whole cluster into ONE bucket per band —
+    * while the star keeps the cluster connected (CC recovers it via the
+    * representative) without the quadratic within-bucket self-join. */
   val MaxBucket = 20
 
   // — shared shingling (word 3-grams, distinct per doc) —
@@ -161,9 +164,12 @@ object Dedup {
     * 2 hashes; candidates = pairs sharing a band bucket; verified with true
     * Jaccard >= 0.5. Output (a, b, jac) — must equal [[ngramJaccard]] on
     * corpora where LSH recall is 1.0 at the threshold. */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-    val dsh = sh.select(col("doc_id"), sidCol.as("sid"))
+  /** MinHash → banded buckets → candidate pairs, shared by the exact-oracle
+    * and fast paths (only the shingle-id derivation differs). Buckets up to
+    * [[MaxBucket]] self-join all pairs; hot buckets star-pair against the
+    * bucket minimum (linear — the mass-template regime). Input `dsh`:
+    * (doc_id, sid) distinct shingle ids. */
+  private def lshCandidates(dsh: DataFrame): DataFrame = {
     val ks = (0 until NumHashes).map { k =>
       struct(lit(k).as("k"), lit(HashA(k)).as("ha"), lit(HashB(k)).as("hb"))
     }
@@ -177,14 +183,25 @@ object Dedup {
       // deterministic bucket key: minhashes concatenated in k order
       .agg(concat_ws(",", sort_array(collect_list(
         concat_ws(":", col("k"), col("mh"))))).as("bucket"))
-    val small = bands.withColumn("bsize",
-      count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bsize") <= MaxBucket)
-    val cand = small.select(col("doc_id").as("a"), col("band"), col("bucket"))
+    val w = Window.partitionBy("band", "bucket")
+    val sized = bands.withColumn("bsize", count(lit(1)).over(w))
+      .withColumn("bmin", min("doc_id").over(w))
+    val small = sized.filter(col("bsize") <= MaxBucket)
+    val allPairs = small
+      .select(col("doc_id").as("a"), col("band"), col("bucket"))
       .join(small.select(col("doc_id").as("b"), col("band"), col("bucket")),
             Seq("band", "bucket"))
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b")
+    val star = sized // bmin < doc_id by construction, so a < b holds
+      .filter(col("bsize") > MaxBucket && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("a"), col("doc_id").as("b"))
+    allPairs.unionByName(star).distinct()
+  }
+
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val cand = lshCandidates(sh.select(col("doc_id"), sidCol.as("sid")))
     verifyJaccard(cand, sh) // exact-Jaccard verification of LSH candidates
   }
 
@@ -199,42 +216,26 @@ object Dedup {
           SELECT doc_id, CAST(k/$BandRows AS INT) AS band,
             string_agg(k || ':' || mh, ',' ORDER BY k || ':' || mh) AS bucket
           FROM mh GROUP BY 1,2),
-        small AS (SELECT * FROM (SELECT *,
-            count(*) OVER (PARTITION BY band, bucket) AS bsize FROM bands)
-          WHERE bsize <= $MaxBucket),
-        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        sized AS (SELECT *,
+            count(*) OVER (PARTITION BY band, bucket) AS bsize,
+            min(doc_id) OVER (PARTITION BY band, bucket) AS bmin FROM bands),
+        small AS (SELECT * FROM sized WHERE bsize <= $MaxBucket),
+        cand AS (SELECT DISTINCT a, b FROM (
+                 SELECT x.doc_id AS a, y.doc_id AS b
                  FROM small x JOIN small y
-                   ON x.band=y.band AND x.bucket=y.bucket AND x.doc_id<y.doc_id),
+                   ON x.band=y.band AND x.bucket=y.bucket AND x.doc_id<y.doc_id
+                 UNION ALL
+                 SELECT bmin AS a, doc_id AS b FROM sized
+                 WHERE bsize > $MaxBucket AND doc_id <> bmin)),
         $verifySqlTail"""
   }
 
   /** MinHash+LSH scale path: xxhash64 shingle hashing (no global sort, no
     * shingle-id dictionary — fully shuffle-local). Same band/bucket scheme.
     * Not DuckDB-expressible (different hash) → rows-only check. */
-  def minhashLshFast(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
-      .select(col("doc_id"), (pmod(xxhash64(col("shingle")), lit(P))).as("sid"))
-    val ks = (0 until NumHashes).map { k =>
-      struct(lit(k).as("k"), lit(HashA(k)).as("ha"), lit(HashB(k)).as("hb"))
-    }
-    val mh = sh
-      .select(col("doc_id"), col("sid"), explode(array(ks: _*)).as("h"))
-      .groupBy(col("doc_id"), col("h.k").as("k"))
-      .agg(min((col("h.ha") * col("sid") + col("h.hb")) % P).as("mh"))
-    val bands = mh
-      .withColumn("band", (col("k") / BandRows).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(concat_ws(",", sort_array(collect_list(
-        concat_ws(":", col("k"), col("mh"))))).as("bucket"))
-    val small = bands.withColumn("bsize",
-      count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bsize") <= MaxBucket)
-    small.select(col("doc_id").as("a"), col("band"), col("bucket"))
-      .join(small.select(col("doc_id").as("b"), col("band"), col("bucket")),
-            Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-  }
+  def minhashLshFast(s: SparkSession, d: String): DataFrame =
+    lshCandidates(shingles(s, d).select(
+      col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("sid")))
 
   /** SimHash band count / width. Hamming <= HammingMax < SimhashBands, so by
     * pigeonhole every qualifying pair shares at least one IDENTICAL band —
@@ -289,19 +290,28 @@ object Dedup {
         struct(lit(k).as("band"), col(s"f$k").as("bval"))): _*)).as("bk"): _*)
       .select((col("doc_id") +: fullFp) :+ col("bk.band").as("band") :+
               col("bk.bval").as("bval"): _*)
-    val small = blocked.withColumn("bsize",
-      count(lit(1)).over(Window.partitionBy("band", "bval")))
-      .filter(col("bsize") <= MaxBucket)
+    val w = Window.partitionBy("band", "bval")
+    val sized = blocked.withColumn("bsize", count(lit(1)).over(w))
+      .withColumn("bmin", min("doc_id").over(w))
+    val small = sized.filter(col("bsize") <= MaxBucket)
     val hamming = (0 until SimhashBands)
       .map(k => bit_count(col(s"fa$k").bitwiseXOR(col(s"fb$k"))))
       .reduce(_ + _)
-    small.select(col("doc_id").as("a") +: col("band") +: col("bval") +:
+    def aSide(df: DataFrame) =
+      df.select(col("doc_id").as("a") +: col("band") +: col("bval") +:
         (0 until SimhashBands).map(k => col(s"f$k").as(s"fa$k")): _*)
-      .join(small.select(col("doc_id").as("b") +: col("band") +:
-          col("bval") +:
-          (0 until SimhashBands).map(k => col(s"f$k").as(s"fb$k")): _*),
-        Seq("band", "bval"))
+    def bSide(df: DataFrame) =
+      df.select(col("doc_id").as("b") +: col("band") +: col("bval") +:
+        (0 until SimhashBands).map(k => col(s"f$k").as(s"fb$k")): _*)
+    val smallPairs = aSide(small).join(bSide(small), Seq("band", "bval"))
       .filter(col("a") < col("b"))
+    // hot buckets: star against the bucket min (one rep row per bucket, so
+    // the join is linear in bucket size); a < b holds by construction
+    val hot = sized.filter(col("bsize") > MaxBucket)
+    val starPairs = aSide(hot.filter(col("doc_id") === col("bmin")))
+      .join(bSide(hot.filter(col("doc_id") =!= col("bmin"))),
+            Seq("band", "bval"))
+    smallPairs.unionByName(starPairs)
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= HammingMax)
       .select("a", "b", "hamming")
@@ -333,12 +343,17 @@ object Dedup {
         bs AS (SELECT doc_id, $bitSums FROM dsh GROUP BY 1),
         fp AS (SELECT doc_id, $bandExprs FROM bs),
         blocked AS ($bandUnion),
-        small AS (SELECT * FROM (SELECT *,
-            count(*) OVER (PARTITION BY band, bval) AS bsize FROM blocked)
-          WHERE bsize <= $MaxBucket),
-        cand AS (SELECT DISTINCT u.doc_id AS a, v.doc_id AS b
+        sized AS (SELECT *,
+            count(*) OVER (PARTITION BY band, bval) AS bsize,
+            min(doc_id) OVER (PARTITION BY band, bval) AS bmin FROM blocked),
+        small AS (SELECT * FROM sized WHERE bsize <= $MaxBucket),
+        cand AS (SELECT DISTINCT a, b FROM (
+                 SELECT u.doc_id AS a, v.doc_id AS b
                  FROM small u JOIN small v
-                   ON u.band=v.band AND u.bval=v.bval AND u.doc_id<v.doc_id)
+                   ON u.band=v.band AND u.bval=v.bval AND u.doc_id<v.doc_id
+                 UNION ALL
+                 SELECT bmin AS a, doc_id AS b FROM sized
+                 WHERE bsize > $MaxBucket AND doc_id <> bmin))
         SELECT a, b, $hammingExpr AS hamming
         FROM cand JOIN fp x ON cand.a=x.doc_id JOIN fp y ON cand.b=y.doc_id
         WHERE $hammingExpr <= $HammingMax"""
@@ -355,14 +370,8 @@ object Dedup {
               transform(col("embedding"), x => x.cast("double")).as("emb"))
     val a = e.select(col("vec_id").as("a"), col("label"), col("emb").as("ea"))
     val b = e.select(col("vec_id").as("b"), col("label"), col("emb").as("eb"))
-    val dot = aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(zip_with(col("ea"), col("ea"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    val nb = aggregate(zip_with(col("eb"), col("eb"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
     a.join(b, "label").filter(col("a") < col("b"))
-      .withColumn("cos", dot / (sqrt(na) * sqrt(nb)))
+      .withColumn("cos", Ann.cosine(col("ea"), col("eb")))
       .filter(col("cos") >= 0.35)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
@@ -387,10 +396,6 @@ object Dedup {
 
   def embeddingCosineIvf(e: DataFrame, centroids: DataFrame,
                          nProbe: Int): DataFrame = {
-    def dotc(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    def cosc(a: Column, b: Column): Column =
-      dotc(a, b) / (sqrt(dotc(a, a)) * sqrt(dotc(b, b)))
     val assigned = Ann.assignCells(e, centroids, nProbe)
     assigned.select(col("vec_id").as("a"), col("emb").as("ea"), col("cell"))
       .join(assigned.select(col("vec_id").as("b"), col("emb").as("eb"),
@@ -398,7 +403,7 @@ object Dedup {
       .filter(col("a") < col("b"))
       // with nProbe > 1 a pair can share several probed cells
       .dropDuplicates("a", "b")
-      .withColumn("cos", cosc(col("ea"), col("eb")))
+      .withColumn("cos", Ann.cosine(col("ea"), col("eb")))
       .filter(col("cos") >= 0.35)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }

@@ -22,6 +22,31 @@ class OpsSpec extends SparkSuite {
     assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("hot LSH buckets degrade to star pairs instead of dropping the cluster") {
+    val dir = SparkSuite.tempDir("graft-hot-bucket")
+    // MaxBucket+5 copies of one template: every copy lands in the SAME
+    // bucket in every band (identical signatures), i.e. the mass-duplicated
+    // boilerplate regime. A cap that silently drops hot buckets finds ZERO
+    // pairs here; star pairing must connect every copy to the bucket min.
+    val template = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val n = Dedup.MaxBucket + 5
+    val docs = (0 until n).map(i => (i.toLong, template, "en", "tpl", 40L)) :+
+      ((100L, (1 to 40).map(i => s"zzz$i").mkString(" "), "en", "x", 40L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val star = (1 until n).map(i => (0L, i.toLong)).toSet
+    val lsh = Dedup.minhashLsh(spark, dir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(lsh == star, s"lsh=${lsh.size}, want star=${star.size}")
+    val fast = Dedup.minhashLshFast(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(star.subsetOf(fast))
+    val sim = Dedup.simhash(spark, dir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(star.subsetOf(sim), s"sim=${sim.size}")
+    assert(!sim.exists(p => p._1 == 100L || p._2 == 100L))
+  }
+
   test("fast (xxhash64) MinHash-LSH candidates cover the verified pairs") {
     val fast = Dedup.minhashLshFast(spark, sf)
       .as[(Long, Long)].collect().toSet
