@@ -70,10 +70,16 @@ object Bench {
     // corpus: 4 leaf types x nCountries x {enum,table} pages, replicated
     val nCountries = sys.env.getOrElse("SPARK_GRAFT_KG_COUNTRIES", "250").toInt
     val replicate = sys.env.getOrElse("SPARK_GRAFT_KG_REPLICATE", "8").toInt
-    // the scaling corpus is larger: short jobs are dominated by fixed task
-    // overhead and show no parallelism signal
+    // the scaling corpus is larger: short jobs are dominated by fixed
+    // per-job overhead (planning + task scheduling, ~0.3-0.5 s) and show
+    // no parallelism signal. 768 keeps the measured region ~30 s at c2 /
+    // ~9 s at c8 AFTER the single-pass extraction sped the engine up ~50%
+    // per page — at the old 128 the c8 run fell to ~1.7 s and the fixed
+    // share alone depressed the paired ratio to ~0.70 while absolute
+    // throughput IMPROVED at every level (measured ladder in
+    // BENCH/BASELINE.md: 128→0.699, 384→0.777, 768→0.840).
     val scalingReplicate =
-      sys.env.getOrElse("SPARK_GRAFT_KG_SCALING_REPLICATE", "128").toInt
+      sys.env.getOrElse("SPARK_GRAFT_KG_SCALING_REPLICATE", "768").toInt
     val world = CorpusGen.World(nCountries = nCountries, knownPerListing = 12)
 
     // ---- session 1: full-parallelism queries + pipeline ----

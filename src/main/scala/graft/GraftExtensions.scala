@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "nt_unescape_literal",
            es => NtCodec.NtUnescapeLiteralExpr(es.head),
            classOf[NtCodec.NtUnescapeLiteralExpr])
+    inject(ext, "html_to_text",
+           es => graft.ingest.TextExtract.HtmlToTextExpr(es.head),
+           classOf[graft.ingest.TextExtract.HtmlToTextExpr])
     ext.injectOptimizerRule(_ => graft.plans.IdempotentAliasKey)
   }
 }

@@ -96,6 +96,10 @@ object Normalize {
       exprs => NtCodec.NtUnescapeLiteralExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "plural_lexhead", exprs => PluralLexheadExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "html_to_text",
+      exprs => graft.ingest.TextExtract.HtmlToTextExpr(exprs.head),
+      "built-in")
   }
 
   /** Column wrapper for the native expression. Requires [[register]] to have
