@@ -35,21 +35,66 @@ object Hearst {
     (s"$np including $np".r.pattern, 2, 1, " including "),
     (s"$np especially $np".r.pattern, 2, 1, " especially "))
 
-  // precompiled (String.split/replaceAll recompile their regex per call —
-  // measurable at corpus scale)
-  private val SentenceEnd = java.util.regex.Pattern.compile("[.!?]")
-  private val NonToken = java.util.regex.Pattern.compile("[^a-z0-9 ]")
-  private val Spaces = java.util.regex.Pattern.compile(" {2,}")
+  /** Fused sentence cleanup (≙ the former regex chain
+    * `NonToken.replaceAll(" ")` → `Spaces("{2,}").replaceAll(" ")` →
+    * `.trim`, whose NET semantics are: every run of non-[a-z0-9] chars —
+    * including existing spaces — collapses to ONE space, with leading and
+    * trailing runs removed). One char scan, one output string, instead of
+    * two full regex passes + trim per sentence — this stage is the
+    * pipeline's dominant wall (the soak lineage reads it at ~58% of the
+    * full run), and the cost is string materialization, not matching.
+    * Equivalence to the regex chain is property-tested (MineSpec). */
+  private def cleanSentence(lower: String, from: Int, until: Int): String = {
+    val sb = new java.lang.StringBuilder(until - from)
+    var pendingSpace = false
+    var i = from
+    while (i < until) {
+      val c = lower.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && sb.length() > 0) sb.append(' ')
+        sb.append(c)
+        pendingSpace = false
+      } else pendingSpace = true
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Lowercase, split on [.!?], clean each sentence; empty cleaned
+    * sentences are dropped (they match nothing in the regex-chain form, so
+    * the drop is output-equivalent — split-artifact empties included).
+    * Sentence split is a manual scan; lowercasing stays String.toLowerCase
+    * (the locale-correct full-string form the oracle parity was built on).
+    * Package-visible for the MineSpec equivalence property test. */
+  private[graft] def cleanedSentences(text: String): Seq[String] = {
+    val lower = text.toLowerCase
+    val n = lower.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      val boundary = i == n || {
+        val c = lower.charAt(i); c == '.' || c == '!' || c == '?'
+      }
+      if (boundary) {
+        if (i > start) {
+          val s = cleanSentence(lower, start, i)
+          if (s.length > 0) out += s
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
 
   /** One sentence-split/cleanup/anchor-prescreen/matcher walk shared by
     * both extraction shapes — the patterns, anchors, and cleanup stay in
     * lock-step by construction. `extract` turns each regex match into zero
     * or one result. */
   private def matchWith[T](text: String)(
-      extract: (java.util.regex.Matcher, Int, Int) => Option[T]): Seq[T] = {
-    SentenceEnd.split(text.toLowerCase).toSeq.flatMap { sentence =>
-      val s = Spaces.matcher(
-        NonToken.matcher(sentence).replaceAll(" ")).replaceAll(" ").trim
+      extract: (java.util.regex.Matcher, Int, Int) => Option[T]): Seq[T] =
+    cleanedSentences(text).flatMap { s =>
       patterns.flatMap { case (p, si, oi, anchor) =>
         if (!s.contains(anchor)) Nil
         else {
@@ -60,7 +105,6 @@ object Hearst {
         }
       }
     }
-  }
 
   /** All hypernym pairs matched in one text (sentence-split on [.!?]). */
   def matchText(text: String): Seq[Hypernym] =

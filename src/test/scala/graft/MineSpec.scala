@@ -69,6 +69,37 @@ class MineSpec extends SparkSuite {
     assert(got.contains(Hearst.Hypernym("cats", "animals")))
   }
 
+  test("fused sentence cleanup == the regex chain (adversarial)") {
+    // the reference chain the fused scan replaced, verbatim: split on
+    // [.!?], map non-[a-z0-9 ] to spaces, squash 2+ spaces, trim; empty
+    // cleaned sentences dropped (they match no pattern either way)
+    val SentenceEnd = java.util.regex.Pattern.compile("[.!?]")
+    val NonToken = java.util.regex.Pattern.compile("[^a-z0-9 ]")
+    val Spaces = java.util.regex.Pattern.compile(" {2,}")
+    def refSentences(text: String): Seq[String] =
+      SentenceEnd.split(text.toLowerCase).toSeq.map { sentence =>
+        Spaces.matcher(
+          NonToken.matcher(sentence).replaceAll(" ")).replaceAll(" ").trim
+      }.filter(_.nonEmpty)
+    val edges = Seq(
+      "", ".", "...", "a.b", "a..b", ".x", "x.", "A city is a PLACE!",
+      "  lots   of,, punct?? here !", "Umeå Ä is a töwn.",
+      "tabs\tand\nnewlines are tokens? no; they clean.",
+      "a city, such as berlin. such cities as: paris!")
+    edges.foreach { s =>
+      assert(Hearst.cleanedSentences(s) == refSentences(s), s"input=$s")
+    }
+    val htmlish: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      3 -> Gen.oneOf(" ", ".", "!", "?", ",", ";", "-", "\n", "\t"),
+      1 -> Gen.oneOf("is a", "such as", "é", "Ü", "5"))).map(_.mkString)
+    val prop = Prop.forAll(htmlish) { s =>
+      Hearst.cleanedSentences(s) == refSentences(s)
+    }
+    assert(SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(500), prop).passed)
+  }
+
   test("hypernym merge: 2-of-3 vote with per-source thresholds") {
     val wiki = Seq(("a", "b", 12L), ("c", "d", 5L)).toDF("sub", "obj", "cnt")
     val web = Seq(("a", "b", 200L), ("e", "f", 300L)).toDF("sub", "obj", "cnt")
