@@ -128,7 +128,7 @@ object Normalize {
     "born", "made", "written", "sung", "held", "known", "set", "built",
     "found", "won", "given", "taken", "drawn", "seen")
   private def looksParticiple(w: String): Boolean = {
-    val l = w.toLowerCase
+    val l = w.toLowerCase(java.util.Locale.ROOT)
     l.endsWith("ed") || IrregularParticiples(l)
   }
 
@@ -267,7 +267,7 @@ object Normalize {
     val toks = canonicalLabelJava(label)
       .split("\\s+").filter(_.nonEmpty).toSeq
     val cut = toks.indexWhere(t =>
-      HeadSpanStoppers(t.stripSuffix(",").toLowerCase))
+      HeadSpanStoppers(t.stripSuffix(",").toLowerCase(java.util.Locale.ROOT)))
     if (cut <= 0) toks else toks.take(cut)
   }
 
@@ -284,7 +284,7 @@ object Normalize {
     var continue = true
     while (i >= 0 && continue) {
       val raw = toks(i)
-      if (connectors(raw.toLowerCase)) {
+      if (connectors(raw.toLowerCase(java.util.Locale.ROOT))) {
         if (i - 1 >= 0) { start = i - 1; i -= 2 } else continue = false
       } else if (raw.endsWith(",")) {
         start = i // comma-joined list member
@@ -304,7 +304,7 @@ object Normalize {
     val connectors = Set("and", "or")
     (start until toks.length).reverse
       .map(toks(_))
-      .filterNot(t => connectors(t.toLowerCase))
+      .filterNot(t => connectors(t.toLowerCase(java.util.Locale.ROOT)))
       .map(_.stripSuffix(","))
       .filter(_.nonEmpty)
   }
@@ -313,7 +313,7 @@ object Normalize {
     * tokens): lowercased singular forms — the blocking key of the
     * reference's head-lemma graph surgery. */
   def lexheadSubjectLemmasJava(label: String): Set[String] =
-    lexheadSubjectsJava(label).map(s => singularizeJava(s.toLowerCase)).toSet
+    lexheadSubjectsJava(label).map(s => singularizeJava(s.toLowerCase(java.util.Locale.ROOT))).toSet
 
   /** Lexical-head info for taxonomy surgery (≙ hierarchy_graph.py:44-60
     * get_node_LHS / get_node_LH / get_node_NH):
@@ -327,7 +327,7 @@ object Normalize {
   def headInfoJava(label: String): HeadInfo = {
     val (toks, start) = headSpanWithZone(label)
     val remainder = toks.take(start)
-      .map(_.stripSuffix(",").toLowerCase).filter(_.nonEmpty).toSet
+      .map(_.stripSuffix(",").toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty).toSet
     val all = canonicalLabelJava(label)
       .split("\\s+").filter(_.nonEmpty).toSeq
     val nonHead = all.drop(toks.length).mkString(" ")
@@ -344,7 +344,7 @@ object Normalize {
     val (toks, start) = headSpanWithZone(label)
     val connectors = Set("and", "or")
     toks.zipWithIndex.flatMap { case (raw, i) =>
-      val t = raw.stripSuffix(",").toLowerCase
+      val t = raw.stripSuffix(",").toLowerCase(java.util.Locale.ROOT)
       if (t.isEmpty || connectors(t)) None
       else if (i >= start) Some(singularizeJava(t))
       else Some(t)

@@ -19,21 +19,31 @@ object Hearst {
   case class Hypernym(sub: String, obj: String)
 
   // (pattern, subGroup, objGroup, anchor) — lowercase token-level regexes
-  // over one sentence; noun phrases approximated by 1-3 word spans.
-  // lazy multi-word quantifier: the NP must not swallow the tokens after it
-  // ("cities such as berlin grew" → object "berlin", not "berlin grew").
-  // `anchor` is a literal substring every match must contain — an O(n)
-  // indexOf prescreen that skips the backtracking NP regex on the vast
-  // majority of sentences (the corpus-dominant cost of this stage).
+  // over one sentence. The lazy quantifier keeps an NP from swallowing the
+  // tokens after it ("cities such as berlin grew" → object "berlin", not
+  // "berlin grew"). `anchor` is a literal substring every match must
+  // contain — an O(n) contains prescreen that skips the backtracking NP
+  // regex on the vast majority of sentences.
   private val np = "([a-z][a-z0-9]*(?: [a-z][a-z0-9]*){0,2}?)"
+  /** The reference's EXACT pattern inventory (`hearst_matcher.py:6-35`):
+    * is-a (a/an), and-other, or-other, including, such-as, especially,
+    * particularly, other-than — with the reference's reverse flags
+    * (sub/obj group order). The classic "such NP as NP" is NOT in the
+    * reference and is deliberately absent here. Leading NPs expand as far
+    * as the anchor forces them (lazy quantifier); a TRAILING NP captures
+    * only its first token — the regex stand-in for the reference's
+    * noun-chunk expansion of the token after the anchor, which a regex
+    * cannot see (documented approximation; the "1-3 word" bound applies to
+    * leading NPs only). */
   private val patterns: Seq[(java.util.regex.Pattern, Int, Int, String)] = Seq(
     (s"$np is (?:a|an) $np".r.pattern, 1, 2, " is a"),
     (s"$np such as $np".r.pattern, 2, 1, " such as "),
-    (s"such $np as $np".r.pattern, 2, 1, "such "),
     (s"$np and other $np".r.pattern, 1, 2, " and other "),
     (s"$np or other $np".r.pattern, 1, 2, " or other "),
     (s"$np including $np".r.pattern, 2, 1, " including "),
-    (s"$np especially $np".r.pattern, 2, 1, " especially "))
+    (s"$np especially $np".r.pattern, 2, 1, " especially "),
+    (s"$np particularly $np".r.pattern, 2, 1, " particularly "),
+    (s"$np other than $np".r.pattern, 2, 1, " other than "))
 
   /** Fused sentence cleanup (≙ the former regex chain
     * `NonToken.replaceAll(" ")` → `Spaces("{2,}").replaceAll(" ")` →
@@ -63,11 +73,12 @@ object Hearst {
   /** Lowercase, split on [.!?], clean each sentence; empty cleaned
     * sentences are dropped (they match nothing in the regex-chain form, so
     * the drop is output-equivalent — split-artifact empties included).
-    * Sentence split is a manual scan; lowercasing stays String.toLowerCase
-    * (the locale-correct full-string form the oracle parity was built on).
+    * Sentence split is a manual scan; lowercasing is the full-string
+    * String.toLowerCase pinned to Locale.ROOT (a tr-locale executor must
+    * not produce different tokens than the oracle machine).
     * Package-visible for the MineSpec equivalence property test. */
   private[graft] def cleanedSentences(text: String): Seq[String] = {
-    val lower = text.toLowerCase
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     val n = lower.length
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var start = 0

@@ -149,11 +149,12 @@ object MiningQueries {
     val patterns: Seq[(String, Int, Int)] = Seq(
       (s"$np is (?:a|an) $np", 1, 2),
       (s"$np such as $np", 2, 1),
-      (s"such $np as $np", 2, 1),
       (s"$np and other $np", 1, 2),
       (s"$np or other $np", 1, 2),
       (s"$np including $np", 2, 1),
-      (s"$np especially $np", 2, 1))
+      (s"$np especially $np", 2, 1),
+      (s"$np particularly $np", 2, 1),
+      (s"$np other than $np", 2, 1))
     val perPattern = patterns.map { case (p, si, oi) =>
       s"""SELECT string_split(pair[1], ' ')[-1] AS sub,
             string_split(pair[2], ' ')[-1] AS obj

@@ -19,25 +19,39 @@ import org.apache.spark.sql.functions._
   */
 object Induction {
 
-  /** relations(sub, pred, obj) × types(ent, tpe) → (pred, domain, share). */
+  /** relations(sub, pred, obj) × types(ent, tpe) → (pred, domain, share).
+    * TRIPLE-weighted like the reference (`heuristics.py:44-48`:
+    * `triple_count = len(values)` — an entity contributes once per distinct
+    * object, not once per entity), and untyped entities still count toward
+    * the denominator (`_sum` accumulates before the type walk). */
   def domains(relations: DataFrame, types: DataFrame,
               threshold: Double = 0.96): DataFrame =
     argmaxTypeShare(
-      relations.select(col("pred"), col("sub").as("ent")), types, threshold)
+      relations.groupBy(col("pred"), col("sub").as("ent"))
+        .agg(countDistinct("obj").as("w")), types, threshold)
       .withColumnRenamed("tpe", "domain")
 
-  /** Same on the object side (object-valued predicates only). */
+  /** Same on the object side (object-valued predicates only; the inverse
+    * mapping weights by distinct SUBJECTS per object,
+    * `get_inverse_entity_properties`). */
   def ranges(relations: DataFrame, types: DataFrame,
              threshold: Double = 0.77): DataFrame =
     argmaxTypeShare(
-      relations.select(col("pred"), col("obj").as("ent")), types, threshold)
+      relations.groupBy(col("pred"), col("obj").as("ent"))
+        .agg(countDistinct("sub").as("w")), types, threshold)
       .withColumnRenamed("tpe", "range")
 
-  private def argmaxTypeShare(predEnt: DataFrame, types: DataFrame,
+  /** weighted(pred, ent, w): the denominator sums w over ALL entities
+    * (pre-join — untyped entities dilute, as in the reference); the
+    * numerator sums w over entities carrying the type. Tie-break on the
+    * argmax is (share desc, tpe asc) — the reference's subtype-filtered
+    * tie resolution collapsed to a deterministic name order (documented
+    * approximation). */
+  private def argmaxTypeShare(weighted: DataFrame, types: DataFrame,
                               threshold: Double): DataFrame = {
-    val typed = predEnt.join(types, "ent")
-    val totals = typed.groupBy("pred").agg(countDistinct("ent").as("total"))
-    val cnts = typed.groupBy("pred", "tpe").agg(countDistinct("ent").as("cnt"))
+    val totals = weighted.groupBy("pred").agg(sum("w").as("total"))
+    val cnts = weighted.join(types, "ent")
+      .groupBy("pred", "tpe").agg(sum("w").as("cnt"))
     val w = Window.partitionBy("pred")
       .orderBy(col("cnt").desc, col("tpe").asc)
     cnts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -47,15 +61,23 @@ object Induction {
       .select(col("pred"), col("tpe"), round(col("share"), 6).as("share"))
   }
 
-  /** Predicates where the share of subjects with >1 object is <= 1-threshold. */
+  /** Predicates functional in ≥ threshold of subjects. Faithful to
+    * `heuristics.py:176-184`: a subject is multi-valued iff it has more
+    * than one DISTINCT object (duplicate triples don't flip it), and the
+    * non-functional cut is `multi_share >= 1-threshold` — i.e. functional
+    * iff STRICTLY below the bar (the boundary case 1-in-20 multi-valued at
+    * threshold 0.95 is non-functional, as in the reference). The bound is
+    * computed in decimal so 1-0.95 is exactly 0.05, not 0.05000…04. */
   def functionalPredicates(relations: DataFrame,
-                           threshold: Double = 0.95): DataFrame =
-    relations.groupBy("pred", "sub").agg(count(lit(1)).as("cnt"))
+                           threshold: Double = 0.95): DataFrame = {
+    val bound = (BigDecimal(1) - BigDecimal(threshold)).toDouble
+    relations.groupBy("pred", "sub").agg(countDistinct("obj").as("cnt"))
       .groupBy("pred")
       .agg(avg(when(col("cnt") > 1, 1.0).otherwise(0.0)).as("multi_share"))
-      .filter(col("multi_share") <= 1.0 - threshold)
+      .filter(col("multi_share") < bound)
       .select(col("pred"), round(lit(1.0) - col("multi_share"), 6)
                 .as("functional_share"))
+  }
 
   /** Disjoint type pairs by property-vector cosine (TF-IDF weighting:
     * tf = P(pred|type), idf = log(|types| / df(pred))). Symmetric output

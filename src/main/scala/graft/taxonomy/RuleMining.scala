@@ -1,7 +1,6 @@
 package graft.taxonomy
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Listing-based type/relation rule mining, re-expressed as DataFrame
@@ -31,42 +30,40 @@ object RuleMining {
     * callers pass the pipeline's shared deduplicated `subject_listings`
     * checkpoint WITHOUT re-paying a corpus-wide distinct shuffle here. */
   def listingTypeRules(subjectListings: DataFrame,
-                       seedTypes: DataFrame): DataFrame = {
-    val linked = subjectListings.select("url", "listing_key", "ent")
-      .join(seedTypes, "ent")
-    val totals = linked.groupBy("url", "listing_key")
-      .agg(countDistinct("ent").as("total"))
-    val cnts = linked.groupBy("url", "listing_key", "tpe")
-      .agg(countDistinct("ent").as("cnt"))
-    val w = Window.partitionBy("url", "listing_key")
-      .orderBy(col("cnt").desc, col("tpe").asc)
-    cnts.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .join(totals, Seq("url", "listing_key"))
-      .filter(col("cnt") >= MinSupport &&
-              col("cnt") / col("total") >= MinShare)
-      .select("url", "listing_key", "tpe")
-  }
+                       seedTypes: DataFrame): DataFrame =
+    shareQualified(
+      subjectListings.select("url", "listing_key", "ent").join(seedTypes, "ent"),
+      Seq("url", "listing_key"), "tpe")
 
-  /** Same shape for (pred, obj) relations: majority object per (listing,
-    * pred) with share/support thresholds (≙ extract.py:206-258). Dup-safe
-    * like [[listingTypeRules]] — no internal distinct. */
+  /** Same shape for (pred, obj) relations per (listing, pred)
+    * (≙ extract.py:206-258). Dup-safe like [[listingTypeRules]] — no
+    * internal distinct. */
   def listingRelationRules(subjectListings: DataFrame,
-                           seedRels: DataFrame): DataFrame = {
-    val linked = subjectListings.select("url", "listing_key", "ent")
-      .join(seedRels.select(col("sub").as("ent"), col("pred"), col("obj")), "ent")
-    val totals = linked.groupBy("url", "listing_key", "pred")
+                           seedRels: DataFrame): DataFrame =
+    shareQualified(
+      subjectListings.select("url", "listing_key", "ent")
+        .join(seedRels.select(col("sub").as("ent"), col("pred"), col("obj")),
+              "ent"),
+      Seq("url", "listing_key", "pred"), "obj")
+
+  /** EVERY value whose entity share within the group passes MinShare +
+    * MinSupport qualifies — not just the argmax. With multi-typed entities
+    * several types can clear the 0.75 bar at once (all-Person-and-Agent
+    * listings), and the reference asserts each qualifying rule
+    * (`extract.py:150-160` iterates every valid rule row); an argmax with
+    * a name tie-break systematically kept the most GENERIC type when
+    * transitive seed types tie by count. Also one shuffle cheaper — no
+    * per-group window, just the two aggregates and a group-keyed join. */
+  private def shareQualified(linked: DataFrame, groupKeys: Seq[String],
+                             valCol: String): DataFrame = {
+    val totals = linked.groupBy(groupKeys.map(col): _*)
       .agg(countDistinct("ent").as("total"))
-    val cnts = linked.groupBy("url", "listing_key", "pred", "obj")
+    val cnts = linked.groupBy((groupKeys :+ valCol).map(col): _*)
       .agg(countDistinct("ent").as("cnt"))
-    val w = Window.partitionBy("url", "listing_key", "pred")
-      .orderBy(col("cnt").desc, col("obj").asc)
-    cnts.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .join(totals, Seq("url", "listing_key", "pred"))
+    cnts.join(totals, groupKeys)
       .filter(col("cnt") >= MinSupport &&
               col("cnt") / col("total") >= MinShare)
-      .select("url", "listing_key", "pred", "obj")
+      .select((groupKeys :+ valCol).map(col): _*)
   }
 
   /** The reference's bespoke two-level pattern statistics with ZERO-FILLING

@@ -59,7 +59,7 @@ object TaxonomyMerge {
 
     // 2. merge by canonical label
     val (mergedEdges, merged) = GraphOps.mergeByLabel(attached,
-      n => Normalize.canonicalLabelJava(labelOf(n)).toLowerCase)
+      n => Normalize.canonicalLabelJava(labelOf(n)).toLowerCase(java.util.Locale.ROOT))
 
     // 3. cycle resolution
     val acyclic = GraphOps.removeCycles(mergedEdges)

@@ -111,7 +111,7 @@ object CorpusGen {
         .map(m => s"* [[$m]] — listed member, R&D note.")
       (Seq(s"== Overview ==",
            s"This page lists every $t of ${countryName(k)}.",
-           s"A ${t.toLowerCase} is a ${parentOf(t).toLowerCase}.",
+           s"A ${t.toLowerCase(java.util.Locale.ROOT)} is a ${parentOf(t).toLowerCase(java.util.Locale.ROOT)}.",
            s"== Members ==") ++ items ++
        Seq("== See also ==",
            s"* [[${countryName(k)}]]",
@@ -212,7 +212,7 @@ object CorpusGen {
         (kind, body) <- Seq("list" -> enumBody(t, k),
                             "table" -> tableBody(t, k))
       } yield {
-        val slug = s"$kind-of-${t.toLowerCase}s-of-country-$k"
+        val slug = s"$kind-of-${t.toLowerCase(java.util.Locale.ROOT)}s-of-country-$k"
         val idx = ti * nCountries * 2 + k * 2 + (if (kind == "list") 0 else 1)
         Page(s"https://example.org/$slug", new Timestamp(t0 + idx * 60000L),
              htmlFor(body), body, "en")
@@ -273,8 +273,8 @@ object CorpusGen {
       * ("A <type> is a <parent>." once per enum page). */
     def expectedHypernyms: Seq[(String, String, Long)] =
       leafTypes.map(t =>
-        (t.toLowerCase, parentOf(t).toLowerCase, nCountries.toLong)) :+
-        ((specialType.toLowerCase, parentOf(specialType).toLowerCase, 1L))
+        (t.toLowerCase(java.util.Locale.ROOT), parentOf(t).toLowerCase(java.util.Locale.ROOT), nCountries.toLong)) :+
+        ((specialType.toLowerCase(java.util.Locale.ROOT), parentOf(specialType).toLowerCase(java.util.Locale.ROOT), 1L))
 
     /** The exact triple set a correct pipeline must emit. */
     def expectedTriples: Seq[Triple] = {
@@ -373,7 +373,7 @@ object CorpusGen {
       * parameters (≙ serialize.py:231-239). */
     def expectedProvenance: Seq[Triple] = {
       def listUrl(kind: String, t: String, k: Int) =
-        s"https://example.org/$kind-of-${t.toLowerCase}s-of-country-$k"
+        s"https://example.org/$kind-of-${t.toLowerCase(java.util.Locale.ROOT)}s-of-country-$k"
       val out = scala.collection.mutable.LinkedHashSet[Triple]()
       def memberProv(t: String, k: Int, kind: String): Unit = {
         val url = listUrl(kind, t, k)

@@ -67,6 +67,15 @@ class MineSpec extends SparkSuite {
     assert(got.contains(Hearst.Hypernym("berlin", "cities")))
     assert(got.contains(Hearst.Hypernym("paris", "capitals")))
     assert(got.contains(Hearst.Hypernym("cats", "animals")))
+    // the two reference patterns the matcher previously lacked
+    // (hearst_matcher.py:27-34), and the non-reference "such NP as NP"
+    // form that must NOT match (the reference has no such pattern)
+    val extra = Hearst.matchText(
+      "Composers particularly Bach endure. Mammals other than whales walk. " +
+      "Such cities as Paris shine.")
+    assert(extra.contains(Hearst.Hypernym("bach", "composers")))
+    assert(extra.contains(Hearst.Hypernym("whales", "mammals")))
+    assert(!extra.exists(h => h.obj == "cities" || h.sub == "paris"))
   }
 
   test("fused sentence cleanup == the regex chain (adversarial)") {

@@ -61,4 +61,24 @@ class RuleMiningSpec extends SparkSuite {
       .as[(String, String, String)].collect().toSet
     assert(rules == Set(("u", "L2", "T")))
   }
+
+  test("every qualifying type asserts, not just the argmax") {
+    // both entities typed Person AND Agent (transitive seed types): both
+    // types have share 1.0 — the reference asserts each qualifying rule,
+    // and an argmax-by-name would systematically keep only the generic
+    // 'Agent', losing the specific 'Person'
+    val subjects = Seq(("u", "L", "e1"), ("u", "L", "e2"))
+      .toDF("url", "listing_key", "ent")
+    val seedTypes = Seq(("e1", "Agent"), ("e1", "Person"),
+                        ("e2", "Agent"), ("e2", "Person")).toDF("ent", "tpe")
+    val rules = RuleMining.listingTypeRules(subjects, seedTypes)
+      .as[(String, String, String)].collect().toSet
+    assert(rules == Set(("u", "L", "Agent"), ("u", "L", "Person")))
+    // relations: two objects can both clear the bar for one pred
+    val rels = Seq(("e1", "p", "x"), ("e1", "p", "y"),
+                   ("e2", "p", "x"), ("e2", "p", "y")).toDF("sub", "pred", "obj")
+    val rr = RuleMining.listingRelationRules(subjects, rels)
+      .as[(String, String, String, String)].collect().toSet
+    assert(rr == Set(("u", "L", "p", "x"), ("u", "L", "p", "y")))
+  }
 }

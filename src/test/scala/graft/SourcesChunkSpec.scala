@@ -100,6 +100,33 @@ class SourcesChunkSpec extends SparkSuite {
     assert(fn.contains("p") && !fn.contains("q")) // e1 has 2 q-objects
   }
 
+  test("induction weighting: triples not entities; dup and boundary cases") {
+    // TRIPLE weighting (heuristics.py:44-48): e1 (type A) carries 10
+    // objects on p, e2 (type B) one — A's share is 10/11 ≈ 0.909, so the
+    // 0.9-threshold domain asserts A; entity-distinct weighting would read
+    // 0.5 and assert nothing
+    val rels = ((1 to 10).map(i => ("e1", "p", s"o$i")) :+ ("e2", "p", "z"))
+      .toDF("sub", "pred", "obj")
+    val types = Seq(("e1", "A"), ("e2", "B")).toDF("ent", "tpe")
+    val dom = Induction.domains(rels, types, 0.9)
+      .as[(String, String, Double)].collect().toSet
+    assert(dom == Set(("p", "A", 0.909091)))
+    // an UNTYPED subject still dilutes the denominator (_sum pre-walk)
+    val relsU = rels.unionByName(Seq(("e3", "p", "u1"), ("e3", "p", "u2"))
+      .toDF("sub", "pred", "obj"))
+    assert(Induction.domains(relsU, types, 0.9).count() == 0) // 10/13 < 0.9
+    // duplicate triples must NOT mark a subject multi-valued
+    val dup = Seq(("s1", "f", "x"), ("s1", "f", "x"), ("s2", "f", "y"))
+      .toDF("sub", "pred", "obj")
+    assert(Induction.functionalPredicates(dup, 0.95)
+      .as[(String, Double)].collect().toMap.contains("f"))
+    // boundary: exactly 1 of 20 subjects multi-valued = share 0.05 —
+    // NON-functional in the reference (>= .05 cut), so it must drop
+    val boundary = ((1 to 19).map(i => (s"b$i", "g", "x")) ++
+      Seq(("b20", "g", "x"), ("b20", "g", "y"))).toDF("sub", "pred", "obj")
+    assert(Induction.functionalPredicates(boundary, 0.95).count() == 0)
+  }
+
   test("disjointness induction: orthogonal property vectors are disjoint") {
     // Person-ish types share preds; Place-ish types share others
     val rels = Seq(
