@@ -1,7 +1,6 @@
 package graft.canonical
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Normalize
 
@@ -68,10 +67,15 @@ object AlignmentGraph {
               col("score").as("weight"))
 
     // — MM edges: same lexical key ⇒ candidate pair, weight 1.0 (> any
-    //   threshold < 1), capped per key —
-    val small = keyed.withColumn("bsize",
-      count(lit(1)).over(Window.partitionBy("key")))
-      .filter(col("bsize") <= MaxKeyBucket)
+    //   threshold < 1), capped per key. The cap is computed with a
+    //   map-side-combinable groupBy count + a broadcast ANTI-join against
+    //   the (tiny) hot-key set — NOT a window over the mention set, which
+    //   would sort every hot key's 10^8 boilerplate mentions in one task
+    //   purely to discard them (the head-key skew the salted link exists
+    //   to avoid). —
+    val hotKeys = keyed.groupBy("key").agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > MaxKeyBucket).select("key")
+    val small = keyed.join(hotKeys, Seq("key"), "left_anti")
     val mm = small.select(col("mention_id").as("a"), col("key"))
       .join(small.select(col("mention_id").as("b"), col("key")), "key")
       .filter(col("a") < col("b"))
@@ -107,7 +111,11 @@ object AlignmentGraph {
     val edges = buildScored(mentions, dict, scoreFn, meThreshold,
                             mmThreshold)
       .localCheckpoint()
+    // clustered is consumed TWICE below (the left_anti probe and the union
+    // output) — without its own checkpoint each action re-executes
+    // NastyLinker's cluster-assembly join tree once per consumer
     val clustered = NastyLinker.cluster(edges, pathThreshold, report = report)
+      .localCheckpoint()
     // mentions with NO candidate edge at all never reach the graph: they
     // are singleton NIL clusters (the reference only clusters graph nodes;
     // the pipeline's F9/NIL path handles the rest — kept here for totality)

@@ -47,11 +47,6 @@ object NastyLinker {
               report: graft.runtime.LoopReport = null): DataFrame = {
     val e = edges.select(col("src"), col("dst"),
                          least(col("weight"), lit(1.0)).as("weight"))
-    // undirected, multi-edge-deduped (keep best weight per direction)
-    val bidir = e
-      .unionByName(e.select(col("dst").as("src"), col("src").as("dst"),
-                            col("weight")))
-      .groupBy("src", "dst").agg(max("weight").as("weight"))
 
     val cc = ConnectedComponents.run(e.select("src", "dst"))
     val entComp = cc.filter(col("node").startsWith("e:"))
@@ -63,13 +58,21 @@ object NastyLinker {
     // Propagation results are CONSUMED only inside multi-entity components
     // (`attached` filters to them; the validity rule resolves everything
     // else), so the propagation graph is restricted to those components
-    // up front — provably result-identical, and in the common corpus shape
-    // (almost every component single-entity) the loop then runs over a
-    // near-empty frontier instead of the whole alignment graph.
+    // BEFORE the symmetrize/dedup aggregate — component membership is
+    // closed over edges (src ∈ multi ⇒ dst ∈ multi), so filtering on src
+    // alone keeps exactly the multi-component edge set, provably
+    // result-identical — and in the common corpus shape (almost every
+    // component single-entity) the whole-graph shuffle the old order paid
+    // just to discard ~all rows disappears: the undirected dedup groupBy
+    // now runs over the near-empty multi subset only.
     val multiComps = entComp.filter(col("n_ents") > 1).select("component")
     val multiNodes = cc.join(multiComps, "component").select("node")
-    val bidirMulti = bidir
-      .join(multiNodes.select(col("node").as("src")), "src")
+    val eMulti = e.join(multiNodes.select(col("node").as("src")), "src")
+    // undirected, multi-edge-deduped (keep best weight per direction)
+    val bidirMulti = eMulti
+      .unionByName(eMulti.select(col("dst").as("src"), col("src").as("dst"),
+                                 col("weight")))
+      .groupBy("src", "dst").agg(max("weight").as("weight"))
       .localCheckpoint()
 
     // — max-product propagation from entity nodes (threshold-pruned) —

@@ -30,10 +30,16 @@ object AliasLink {
   val Salt = 8
 
   /** aliases(alias, ent, freq, is_hot) → dictionary keyed by normalized
-    * alias key (the codegen'd native expression). */
+    * alias key (the codegen'd native expression). Aliases that normalize
+    * to the EMPTY key (punctuation-only, CJK — the key expression keeps
+    * only Latin alphanumerics) are dropped: with an empty-keyed dict row,
+    * every mention whose label also normalizes empty would vacuously
+    * "link" to that one unrelated entity instead of falling to the NIL
+    * path (AlignmentGraph.buildScored guards the same invariant). */
   def buildDict(aliases: DataFrame): DataFrame =
     aliases.select(Normalize.aliasKey(col("alias")).as("key"),
                    col("ent"), col("freq"), col("is_hot"))
+      .filter(length(col("key")) > 0)
 
   /** Fold spelling redirects into the alias table: redirect src becomes an
     * alias of dst's entity, guarded by levenshtein(src, dst) <= maxLev
@@ -66,17 +72,11 @@ object AliasLink {
       .select("key", "ent", "is_hot")
   }
 
-  /** mentions(..., label) × dict → linked(..., ent) + unlinked(..., key).
-    * Returns (linked, unlinked).
-    *
-    * Hot path: ONE broadcast-hash join against the per-key-reduced
-    * dictionary — the corpus side is read once and never shuffles (a
-    * left_outer join splits linked/unlinked without a second scan of the
-    * mention subtree). Head-entity skew is a non-event under broadcast
-    * (no partitioning by key exists to skew); [[linkShuffle]] is the salted
-    * fallback for dictionaries beyond the broadcast threshold and is tested
-    * result-identical. */
   /** The single-execution form: mentions × dict in ONE broadcast join,
+    * the corpus side read once and never shuffled; head-entity skew is a
+    * non-event under broadcast, and [[linkShuffle]] is the salted fallback
+    * for dictionaries beyond the broadcast threshold (tested
+    * result-identical).
     * `ent` nullable (null = unlinked). The pipeline checkpoints THIS frame
     * once and derives linked/unlinked as filters over the checkpoint, so
     * the broadcast join and the mention scan run exactly once per run
@@ -159,8 +159,12 @@ object AliasLink {
       .join(coldDict, Seq("key"))
       .select((cols :+ "ent").map(col): _*)
     val linked = hotLinked.unionByName(coldLinked)
+    // NO broadcast hint here: this side is the FULL key set of a dict that
+    // is, by this function's premise, beyond the broadcast threshold —
+    // forcing it defeats the salted-shuffle design (only hotKeys, a tiny
+    // set, is safe to broadcast above). AQE picks the join strategy.
     val unlinked = keyed
-      .join(best.select("key").hint("broadcast"), Seq("key"), "left_anti")
+      .join(best.select("key"), Seq("key"), "left_anti")
       .select(cols.map(col): _*)
     (linked, unlinked)
   }

@@ -57,6 +57,24 @@ class LinkSpec extends SparkSuite {
     assert(ada.toSeq == Seq("Ada Prime A")) // prior 0.7 beats 0.3
   }
 
+  test("labels that normalize to the empty key never link") {
+    // a punctuation-only alias normalizes to key "" — with it in the dict,
+    // every CJK/punctuation label would vacuously "link" to its entity
+    // instead of falling to the NIL path
+    val aliases = Seq(("···", "Bogus_Ent", 9.0, false),
+                      ("Real Name", "Real_Ent", 1.0, false))
+      .toDF("alias", "ent", "freq", "is_hot")
+    val d = AliasLink.buildDict(aliases)
+    assert(d.filter(length(col("key")) === 0).count() == 0)
+    val ms = Seq(("u", "l", 0, "m1", "★★"), ("u", "l", 1, "m2", "Real Name"))
+      .toDF("url", "listing_key", "item_idx", "mention_id", "label")
+    val joined = AliasLink.linkAll(ms, d)
+    val byId = joined.select("mention_id", "ent").as[(String, String)]
+      .collect().toMap
+    assert(byId("m1") == null) // NOT Bogus_Ent
+    assert(byId("m2") == "Real_Ent")
+  }
+
   test("unlinked mentions carry their alias key for canonicalization") {
     val (_, unlinked) = AliasLink.link(mentions, dict)
     val keys = unlinked.select("key").distinct().as[String].collect()
