@@ -270,7 +270,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(math.abs).sum else 0.0
     val thrJson = levels.map(l => s""""pages_per_s_c$l":${thr(l)}""")
       .mkString(",")
-    println(
+    val jsonLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed_queries":$failedJson,""" +
       s""""untimed_gates":${gates.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
@@ -297,6 +297,19 @@ object Bench {
         roundTimes.map(t => levels.map(l =>
           s""""c$l":${f"${t(l)}%.3f"}""").mkString("{", ",", "}"))
           .mkString(",")
-      }]}}}""")
+      }]}}}"""
+    println(jsonLine)
+    // the driver's BENCH_rNN.json keeps only a front-truncated tail of
+    // stdout, silently dropping the per-query timings (VERDICT r4 #5) —
+    // persist the COMPLETE line so round artifacts stay auditable
+    try {
+      val out = java.nio.file.Paths.get("BENCH", "last_run.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"bench: could not write BENCH/last_run.json: $e")
+    }
   }
 }

@@ -202,6 +202,15 @@ object Pipeline {
       val prevFp = spark.read.parquet(s"$prevDir/seeds_fp")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val curFp = curFpDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // a FORMAT change is not a seed change: report it as such instead of
+      // claiming the (possibly byte-identical) seeds differ (ADVICE r4)
+      val prevVer = prevFp.getOrElse("__fp_version", 1L)
+      require(prevVer == SeedsFpVersion,
+              s"runDelta: seeds-fingerprint FORMAT changed (prevDir " +
+              s"recorded v$prevVer, this engine computes v$SeedsFpVersion) " +
+              "— the seed tables may be byte-identical, but the recorded " +
+              "fingerprint cannot be compared; run full once on a fresh " +
+              "outDir to re-record it")
       require(prevFp == curFp,
               s"runDelta: seed tables differ from prevDir's recorded " +
               s"fingerprint (prev=$prevFp, current=$curFp) — carried links " +
@@ -318,7 +327,17 @@ object Pipeline {
     * staleness guard. Nulls coalesce to a per-column marker so a value
     * shifting position across columns cannot alias (xxhash64 folds null
     * fields without a position contribution). Partitioning-invariant;
-    * recorded at run time; [[runDelta]] refuses to carry across a change. */
+    * recorded at run time; [[runDelta]] refuses to carry across a change.
+    *
+    * The fingerprint FORMULA is versioned (the `__fp_version` row): when
+    * the formula changes, a byte-identical seed set still produces
+    * different fp values, and without the version row [[runDelta]] would
+    * misreport that as "seed tables differ" (ADVICE r4 — the r3→r4 formula
+    * change silently invalidated every existing delta chain with a
+    * misleading diagnostic). Bump [[SeedsFpVersion]] on ANY formula
+    * change. */
+  private val SeedsFpVersion = 2L
+
   private def seedsFingerprint(spark: SparkSession, seeds: Seeds): DataFrame = {
     def one(name: String, df: DataFrame): DataFrame =
       if (df == null)
@@ -333,7 +352,9 @@ object Pipeline {
           .select(lit(name).as("tbl"),
                   xxhash64(col("x").cast("string"), col("n")).as("fp"))
       }
-    one("aliases", seeds.aliases)
+    spark.range(1)
+      .select(lit("__fp_version").as("tbl"), lit(SeedsFpVersion).as("fp"))
+      .unionByName(one("aliases", seeds.aliases))
       .unionByName(one("entity_types", seeds.entityTypes))
       .unionByName(one("taxonomy_edges", seeds.taxonomyEdges))
       .unionByName(one("disjoint_pairs", seeds.disjointPairs))

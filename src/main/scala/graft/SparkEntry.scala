@@ -55,7 +55,9 @@ object SparkEntry {
     "dedup_exact"             -> (Dedup.exactDedup _),
     "dedup_ngram_jaccard"     -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"       -> (Dedup.minhashLsh _),
-    "dedup_minhash_fast"      -> (Dedup.minhashLshFast _), // rows-only (xxhash64)
+    // the fast path's containment contract (verified ⊆ fast candidates) is
+    // what's oracle-checkable — the raw xxhash64 candidate set isn't
+    "dedup_minhash_fast"      -> (Dedup.minhashLshFastContainment _),
     "dedup_simhash"           -> (Dedup.simhash _),
     "dedup_embedding_cosine"  -> (Dedup.embeddingCosine _),
     "dedup_embedding_ivf"     -> (Dedup.embeddingCosineIvf _),
@@ -235,6 +237,9 @@ object SparkEntry {
     "dedup_exact"            -> Dedup.exactDedupSql,
     "dedup_ngram_jaccard"    -> Dedup.ngramJaccardSql,
     "dedup_minhash_lsh"      -> Dedup.minhashLshSql,
+    // oracle = the verified pair set; Spark emits verified ∩ fast
+    // candidates, so equality ⟺ the fast path covers every verified pair
+    "dedup_minhash_fast"     -> Dedup.minhashLshSql,
     "dedup_simhash"          -> Dedup.simhashSql,
     "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
     "dedup_embedding_ivf"    -> Dedup.embeddingCosineIvfSql,

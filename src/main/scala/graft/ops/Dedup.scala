@@ -232,10 +232,24 @@ object Dedup {
 
   /** MinHash+LSH scale path: xxhash64 shingle hashing (no global sort, no
     * shingle-id dictionary — fully shuffle-local). Same band/bucket scheme.
-    * Not DuckDB-expressible (different hash) → rows-only check. */
+    * The raw candidate set is not DuckDB-expressible (different hash);
+    * its CONTRACT is — see [[minhashLshFastContainment]]. */
   def minhashLshFast(s: SparkSession, d: String): DataFrame =
     lshCandidates(shingles(s, d).select(
       col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("sid")))
+
+  /** The driver-checkable form of the fast path's containment invariant
+    * (VERDICT r4 #7 — this used to be the one permanently `no_oracle`
+    * row): the xxhash64 candidate generator must COVER every
+    * oracle-verified LSH pair, so the Spark side emits
+    * `verified ∩ fastCandidates` and the DuckDB side emits `verified` —
+    * they hash-match exactly when the fast candidates are a superset of
+    * the verified pairs (a dropped pair vanishes from the Spark side and
+    * the gate goes red; spurious fast candidates are filtered by the
+    * semi-join and correctly don't fail it — they only cost verification
+    * work, never recall). */
+  def minhashLshFastContainment(s: SparkSession, d: String): DataFrame =
+    minhashLsh(s, d).join(minhashLshFast(s, d), Seq("a", "b"), "left_semi")
 
   /** SimHash band count / width. Hamming <= HammingMax < SimhashBands, so by
     * pigeonhole every qualifying pair shares at least one IDENTICAL band —

@@ -17,10 +17,19 @@ object NifQueries {
   private val Base = "http://graft.example.org/resource/"
   private val Query = "?dbpv=2026-08&nif=context"
 
-  /** Whitespace squash identical to the literal escaper's (and the oracle's
-    * `trim(regexp_replace(text,'\s+',' ','g'))`). */
-  private def squash(c: Column): Column =
-    trim(regexp_replace(c, "\\s+", " "))
+  /** The python-whitespace class [[NtCodec.escapeLiteralJava]] squashes
+    * (`Character.isWhitespace ∪ isSpaceChar ∪ NEL`) — ONE definition in
+    * Java-regex form (the Spark squash / generated endIndex) and one in
+    * RE2 form (the DuckDB oracle), so the literal round-trip, the
+    * endIndex, and the oracle text can never disagree on what counts as
+    * whitespace (ADVICE r4: a plain `\s` diverged from the escaper on
+    * U+00A0/U+2007/U+202F/NEL text). */
+  private val WsJava = "[\\p{javaWhitespace}\\p{javaSpaceChar}\\u0085]+"
+  private[graft] val WsDuck = """[\t\n\x0B\f\r\x1C-\x1F\x{0085}\p{Z}]+"""
+
+  /** Whitespace squash identical to the literal escaper's. */
+  private[graft] def squash(c: Column): Column =
+    trim(regexp_replace(c, WsJava, " "))
 
   private def ctxIri(docId: Column): Column =
     concat(lit("<" + Base), docId.cast("string"), lit(Query + ">"))
@@ -78,10 +87,10 @@ object NifQueries {
   }
 
   val contextRoundtripSql: String =
-    """SELECT CAST(doc_id AS VARCHAR) AS resource,
-              trim(regexp_replace(text, '\s+', ' ', 'g')) AS text,
+    s"""SELECT CAST(doc_id AS VARCHAR) AS resource,
+              trim(regexp_replace(text, '$WsDuck', ' ', 'g')) AS text,
               0 AS begin_index,
-              length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS end_index,
+              length(trim(regexp_replace(text, '$WsDuck', ' ', 'g'))) AS end_index,
               'http://example.org/page/' || doc_id AS source_url
        FROM documents"""
 
@@ -104,10 +113,8 @@ object NifQueries {
     graft.core.Normalize.register(s)
     import s.implicits._
     val part = Tables.part(s, d)
-    val docs = part.select(
-      col("p_partkey").as("doc_id"),
-      concat(lower(col("p_name")), lit("s such as p"), col("p_partkey"),
-             lit(" fill shelves. things such as stuff exist.")).as("text"))
+    val docs = part.select(col("p_partkey").as("doc_id"),
+                           fixtureText(col("p_partkey"), lower(col("p_name"))))
     val ctxs = graft.sources.NifSource
       .contexts(graft.sources.NifSource.parseRaw(contextLines(docs)))
       .select(col("resource"), col("text")).as[(String, String)]
@@ -123,24 +130,56 @@ object NifQueries {
     graft.mine.Hearst.typeLexCorpusCounts(ctxs, surfaceForms, entityTypes)
   }
 
+  /** The per-page fixture prose, sentence by sentence a tripwire for
+    * inventory drift (ADVICE r4: the old fixture could not trigger any
+    * pattern the Spark and SQL inventories disagreed on):
+    *  1. "<name>s such as pK fill shelves"  — such-as, gated THROUGH;
+    *  2. "goods particularly pK sell well"  — particularly (in the
+    *     reference's 8-pattern inventory; a SQL list still pinning the old
+    *     7-pattern set counts nothing here and hash-fails);
+    *  3. "wares other than pK vanish"       — other-than (same tripwire);
+    *  4. "such widgets as pK rust"          — the NON-reference classic
+    *     "such NP as NP": NEITHER side may match it (re-adding it to
+    *     either list hash-fails);
+    *  5. "things such as stuff exist"       — decoy: hyponym is not a
+    *     surface form of the page entity; the gate must drop it. */
+  private def fixtureText(key: Column, nameLower: Column): Column = {
+    val k = key.cast("string")
+    concat(nameLower, lit("s such as p"), k, lit(" fill shelves."),
+           lit(" goods particularly p"), k, lit(" sell well."),
+           lit(" wares other than p"), k, lit(" vanish."),
+           lit(" such widgets as p"), k, lit(" rust."),
+           lit(" things such as stuff exist.")).as("text")
+  }
+
+  private val fixtureTextSql: String =
+    "lower(p_name) || 's such as p' || p_partkey || ' fill shelves." +
+    " goods particularly p' || p_partkey || ' sell well." +
+    " wares other than p' || p_partkey || ' vanish." +
+    " such widgets as p' || p_partkey || ' rust." +
+    " things such as stuff exist.'"
+
   val typeLexicalisationsSql: String = {
     val np = "([a-z][a-z0-9]*(?: [a-z][a-z0-9]*){0,2}?)"
+    // the reference's EXACT 8-pattern inventory, in lock-step with
+    // graft.mine.Hearst.patterns (hearst_matcher.py:6-35): no
+    // "such NP as NP", WITH particularly / other-than (ADVICE r4)
     val patterns: Seq[(String, Int, Int)] = Seq(
       (s"$np is (?:a|an) $np", 1, 2),
       (s"$np such as $np", 2, 1),
-      (s"such $np as $np", 2, 1),
       (s"$np and other $np", 1, 2),
       (s"$np or other $np", 1, 2),
       (s"$np including $np", 2, 1),
-      (s"$np especially $np", 2, 1))
+      (s"$np especially $np", 2, 1),
+      (s"$np particularly $np", 2, 1),
+      (s"$np other than $np", 2, 1))
     val perPattern = patterns.map { case (p, si, oi) =>
       s"""SELECT resource, pair[1] AS sub, pair[2] AS obj_span
           FROM sents, unnest(list_zip(regexp_extract_all(s, '$p', $si),
                                       regexp_extract_all(s, '$p', $oi))) AS t(pair)"""
     }.mkString(" UNION ALL ")
     s"""WITH corpus AS (SELECT CAST(p_partkey AS VARCHAR) AS resource,
-          lower(p_name) || 's such as p' || p_partkey ||
-          ' fill shelves. things such as stuff exist.' AS text
+          $fixtureTextSql AS text
           FROM part),
         sents AS (
           SELECT resource,
@@ -172,8 +211,8 @@ object NifQueries {
   }
 
   val mentionsRoundtripSql: String =
-    """WITH sq AS (SELECT doc_id,
-           trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents)
+    s"""WITH sq AS (SELECT doc_id,
+           trim(regexp_replace(text, '$WsDuck', ' ', 'g')) AS t FROM documents)
        SELECT CAST(doc_id AS VARCHAR) AS resource,
               split_part(t, ' ', 1) AS anchor_of,
               0 AS begin_index,

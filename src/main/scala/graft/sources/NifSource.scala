@@ -54,15 +54,21 @@ object NifSource {
   /** The resource a NIF IRI annotates: strip the query suffix, then decode
     * the name exactly like the reference's uri2iri + iri2name
     * (`nif_parser.py:72`, `impl/util/rdf.py:110-120`) — base strip,
-    * %XX UTF-8 decode, '_'→' '. */
-  def resourceOf(iri: Column): Column =
-    NtSource.decodeName(substring_index(iri, "?", 1))
+    * %XX UTF-8 decode, '_'→' '. `base` is the dump's resource namespace
+    * (ADVICE r4: a DBpedia `nif_context` dump uses
+    * `http://dbpedia.org/resource/` — stripping only the graft base left
+    * resource keys as mangled full IRIs). */
+  def resourceOf(iri: Column,
+                 base: String = NtSource.DefaultResourceBase): Column =
+    NtSource.decodeName(substring_index(iri, "?", 1), base)
 
   /** Assemble `nif:Context` rows →
     * (resource, context_iri, text, begin_index, end_index, source_url).
     * `text` is the raw `nif:isString`; apply [[plainText]] for the
-    * reference's parse-ready cleanup. */
-  def contexts(triples: DataFrame): DataFrame =
+    * reference's parse-ready cleanup. `base`: the dump's resource
+    * namespace (see [[resourceOf]]). */
+  def contexts(triples: DataFrame,
+               base: String = NtSource.DefaultResourceBase): DataFrame =
     triples
       // prune the soup to NIF predicates before the shuffle
       .filter(col("pred").startsWith(NifCore))
@@ -74,14 +80,16 @@ object NifSource {
         max(when(nif("sourceUrl") && !col("is_literal"), col("obj"))).as("source_url"))
       .filter(col("text").isNotNull) // contexts carry isString; phrases don't
       .select(
-        resourceOf(col("subj")).as("resource"),
+        resourceOf(col("subj"), base).as("resource"),
         col("subj").as("context_iri"),
         col("text"), col("begin_index"), col("end_index"), col("source_url"))
 
   /** Assemble phrase annotations (`nif:anchorOf` + `itsrdf:taIdentRef`) →
     * (resource, anchor_of, begin_index, end_index, entity). `entity` is the
-    * linked resource name (decoded), null for unlinked phrases. */
-  def mentions(triples: DataFrame): DataFrame =
+    * linked resource name (decoded), null for unlinked phrases. `base`:
+    * the dump's resource namespace (see [[resourceOf]]). */
+  def mentions(triples: DataFrame,
+               base: String = NtSource.DefaultResourceBase): DataFrame =
     triples
       .filter(col("pred").startsWith(NifCore) ||
               col("pred") === lit(ItsRdf + "taIdentRef"))
@@ -95,9 +103,9 @@ object NifSource {
                  col("obj"))).as("ta_iri"))
       .filter(col("anchor_of").isNotNull) // phrases carry anchorOf; contexts don't
       .select(
-        resourceOf(col("ctx")).as("resource"),
+        resourceOf(col("ctx"), base).as("resource"),
         col("anchor_of"), col("begin_index"), col("end_index"),
-        NtSource.decodeName(col("ta_iri")).as("entity"))
+        NtSource.decodeName(col("ta_iri"), base).as("entity"))
 
   /** The reference's plaintext cleanup before Hearst parsing
     * (`nif_parser.py:79-81` + `impl/util/nlp.py:76-86`): newlines → space,
@@ -111,8 +119,9 @@ object NifSource {
       "\\s*\\[[^\\[\\]]*\\]\\s*", "")
 
   /** File entry point: NIF N-Triples file(s) → context rows. */
-  def readContexts(spark: SparkSession, path: String): DataFrame =
-    contexts(parseRaw(spark.read.text(path)))
+  def readContexts(spark: SparkSession, path: String,
+                   base: String = NtSource.DefaultResourceBase): DataFrame =
+    contexts(parseRaw(spark.read.text(path)), base)
 
   /** Adapt a NIF dump to the north-rule page table
     * (url, warc_ts, html, text, lang) so [[graft.Pipeline.run]] consumes a
@@ -127,11 +136,12 @@ object NifSource {
     * filter is widened too, or the run silently emits nothing. */
   def pagesFromNif(spark: SparkSession, path: String,
                    crawlTs: java.sql.Timestamp,
-                   lang: String = "en"): DataFrame = {
+                   lang: String = "en",
+                   base: String = NtSource.DefaultResourceBase): DataFrame = {
     val text = plainText(col("text"))
     val escaped = regexp_replace(regexp_replace(regexp_replace(
       text, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
-    readContexts(spark, path).select(
+    readContexts(spark, path, base).select(
       coalesce(col("source_url"),
                XmlDumpSource.resourceIri(col("resource"))).as("url"),
       lit(crawlTs).as("warc_ts"),
@@ -144,17 +154,19 @@ object NifSource {
     * `extract_wiki_corpus_resources`): dump file → contexts → bracket/
     * newline cleanup → Hearst corpus counts, i.e. the wiki-side hypernym
     * evidence [[graft.mine.Hearst.mergeSources]] votes with (A6). */
-  def wikiHypernymCounts(spark: SparkSession, path: String): DataFrame = {
+  def wikiHypernymCounts(spark: SparkSession, path: String,
+                         base: String = NtSource.DefaultResourceBase): DataFrame = {
     import spark.implicits._
     graft.mine.Hearst.corpusCounts(
-      readContexts(spark, path)
+      readContexts(spark, path, base)
         .select(col("resource"), plainText(col("text")).as("text"))
         .as[(String, String)])
   }
 
   /** File entry point: NIF N-Triples file(s) → phrase-annotation rows. */
-  def readMentions(spark: SparkSession, path: String): DataFrame =
-    mentions(parseRaw(spark.read.text(path)))
+  def readMentions(spark: SparkSession, path: String,
+                   base: String = NtSource.DefaultResourceBase): DataFrame =
+    mentions(parseRaw(spark.read.text(path)), base)
 
   /** Linked phrase annotations → the alias-table shape
     * [[graft.link.AliasLink.buildDict]] consumes directly

@@ -19,7 +19,11 @@ import graft.core.NtCodec
   */
 object NtSource {
 
-  private val Base = "http://graft.example.org/resource/"
+  /** The graft emit namespace ([[graft.core.NtCodec]]'s encoder base) —
+    * the default base [[decodeName]] strips. Foreign dumps (e.g. a DBpedia
+    * NIF corpus) pass their own base instead. */
+  val DefaultResourceBase = "http://graft.example.org/resource/"
+  private val Base = DefaultResourceBase
   private val PredBase = "http://graft.example.org/ontology/"
 
   private[sources] val objPat =
@@ -53,8 +57,15 @@ object NtSource {
     * unquote, `/root/reference/impl/util/rdf.py:110-120,139-140`. Requires
     * [[graft.core.Normalize.register]]. */
   def decodeName(iri: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    decodeName(iri, Base)
+
+  /** [[decodeName]] with an explicit namespace to strip — foreign dumps
+    * (ADVICE r4: stripping only the graft base left DBpedia resource keys
+    * as mangled full IRIs). */
+  def decodeName(iri: org.apache.spark.sql.Column,
+                 base: String): org.apache.spark.sql.Column =
     call_function("nt_decode_resource",
-      regexp_replace(iri, s"^${java.util.regex.Pattern.quote(Base)}", ""))
+      regexp_replace(iri, s"^${java.util.regex.Pattern.quote(base)}", ""))
 
   private def unescapeLiteral(c: org.apache.spark.sql.Column) =
     call_function("nt_unescape_literal", c)

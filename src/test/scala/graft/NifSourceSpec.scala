@@ -134,4 +134,40 @@ class NifSourceSpec extends SparkSuite {
     val row = ctx.select("resource", "text", "source_url").as[(String, String, String)].collect()
     assert(row.toSeq == Seq(("http://x.org/a", "hello world", null)))
   }
+
+  test("foreign resource base: DBpedia-style dump decodes to reference-" +
+       "shaped entity names (ADVICE r4 — nif_parser.py:72 uri2iri+iri2name)") {
+    val nif = "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#"
+    val dbr = "http://dbpedia.org/resource/"
+    val ctxIri = s"<${dbr}New_York_%28state%29?dbpv=2022-12&nif=context>"
+    val phrIri = s"<${dbr}New_York_%28state%29?dbpv=2022-12&nif=phrase&char=0,6>"
+    val lines = Seq(
+      s"""$ctxIri <${nif}isString> "albany is a city"@en .""",
+      s"""$phrIri <${nif}referenceContext> $ctxIri .""",
+      s"""$phrIri <${nif}anchorOf> "albany"@en .""",
+      s"""$phrIri <http://www.w3.org/2005/11/its/rdf#taIdentRef> <${dbr}Albany%2C_New_York> ."""
+    ).toDF("value")
+    val ctx = NifSource.contexts(NifSource.parseRaw(lines), base = dbr)
+      .select("resource", "text").as[(String, String)].collect()
+    assert(ctx.toSeq == Seq(("New York (state)", "albany is a city")))
+    val m = NifSource.mentions(NifSource.parseRaw(lines), base = dbr)
+      .select("resource", "anchor_of", "entity")
+      .as[(String, String, String)].collect()
+    assert(m.toSeq == Seq(("New York (state)", "albany", "Albany, New York")))
+  }
+
+  test("NifQueries squash mirrors escapeLiteralJava's python-whitespace " +
+       "class (ADVICE r4 — U+00A0/U+2007/U+202F/NEL/\\u001C)") {
+    val texts = Seq(
+      "plain ascii  text",
+      "nbsp here", "figure space", "narrow nbsp",
+      "nelline", "fsgs", "ideographic　space",
+      "  leading and trailing  ", "\t\n mixed   runs \r")
+    // for quote/backslash-free input the squash IS the escaper
+    val viaCol = texts.toDF("t")
+      .select(graft.ops.NifQueries.squash(col("t"))).as[String].collect()
+    texts.zip(viaCol).foreach { case (t, got) =>
+      assert(got == graft.core.NtCodec.escapeLiteralJava(t), s"input=$t")
+    }
+  }
 }
