@@ -52,18 +52,29 @@ object RuleMining {
     * listings), and the reference asserts each qualifying rule
     * (`extract.py:150-160` iterates every valid rule row); an argmax with
     * a name tie-break systematically kept the most GENERIC type when
-    * transitive seed types tie by count. Also one shuffle cheaper — no
-    * per-group window, just the two aggregates and a group-keyed join. */
+    * transitive seed types tie by count.
+    *
+    * SINGLE SCAN (VERDICT r4 #1 — the two-aggregate + join-back form
+    * evaluated the corpus-sized subject×seed join twice, and type_rules +
+    * relation_rules had become the top two full-run stages at ~27% of the
+    * soak wall): ONE map-side-combinable groupBy collects the group's
+    * distinct (ent, value) pairs — bounded by listing size × values per
+    * entity, the same page-local bound as every listing aggregate — and
+    * the share test runs ROW-LOCALLY over that set (distinct-ent total,
+    * per-value distinct-ent count, explode of the qualifying values). One
+    * shuffle, no join, join input scanned once. */
   private def shareQualified(linked: DataFrame, groupKeys: Seq[String],
                              valCol: String): DataFrame = {
-    val totals = linked.groupBy(groupKeys.map(col): _*)
-      .agg(countDistinct("ent").as("total"))
-    val cnts = linked.groupBy((groupKeys :+ valCol).map(col): _*)
-      .agg(countDistinct("ent").as("cnt"))
-    cnts.join(totals, groupKeys)
-      .filter(col("cnt") >= MinSupport &&
-              col("cnt") / col("total") >= MinShare)
-      .select((groupKeys :+ valCol).map(col): _*)
+    val grouped = linked.groupBy(groupKeys.map(col): _*)
+      .agg(collect_set(struct(col("ent"), col(valCol).as("v"))).as("pairs"))
+    val total = size(array_distinct(transform(col("pairs"), p => p("ent"))))
+    val qualified = filter(
+      array_distinct(transform(col("pairs"), p => p("v"))),
+      v => {
+        val cnt = size(filter(col("pairs"), p => p("v") === v))
+        cnt >= lit(MinSupport) && cnt / total >= lit(MinShare)
+      })
+    grouped.select(groupKeys.map(col) :+ explode(qualified).as(valCol): _*)
   }
 
   /** The reference's bespoke two-level pattern statistics with ZERO-FILLING
