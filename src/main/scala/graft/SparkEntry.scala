@@ -51,6 +51,7 @@ object SparkEntry {
     "g2_type_closure"       -> (Relational.typeClosure _),
     "g9_connected_components" -> (Relational.connectedComponents _),
     "eval_clustering"       -> (Relational.clusteringEval _),
+    "md_span_eval"          -> (MdQueries.mdSpanEval _),
     // — training-data-pipeline operators —
     "dedup_exact"             -> (Dedup.exactDedup _),
     "dedup_ngram_jaccard"     -> (Dedup.ngramJaccard _),
@@ -221,6 +222,7 @@ object SparkEntry {
            SELECT ud.dst, reach.r FROM reach JOIN ud ON reach.node=ud.src)
          SELECT node, min(r) AS component FROM reach GROUP BY node""",
     "eval_clustering"        -> Relational.clusteringEvalSql,
+    "md_span_eval"           -> MdQueries.mdSpanEvalSql,
     "a3_zero_padded_median"  -> MiningQueries.zeroPaddedMedianSql,
     "a5_hearst_counts"       -> MiningQueries.hearstCountsSql,
     "a6_hypernym_vote"       -> MiningQueries.hypernymVoteSql,
