@@ -106,7 +106,8 @@ object Pipeline {
     runner.run("seeds_fp") { seedsFingerprint(spark, seeds) }
 
     // 1. invariant text extraction (byte-identical per url)
-    val pagesText = runner.run("pages_text") { TextExtract.extract(pages) }
+    val pagesText =
+      runner.runKeyed("pages_text", Seq("url")) { TextExtract.extract(pages) }
 
     // 2. listings → items → subject mentions
     val mentions = runner.run("mentions") { ListingExtract.mentions(pagesText) }
@@ -120,14 +121,17 @@ object Pipeline {
     // shape changed (nullable ent, unlinked rows included) and StageRunner
     // resumes by name — a stale "linked" checkpoint must never resume into
     // the new shape (it would silently empty the NIL path).
-    val linkedAll = runner.run("linked_all") { AliasLink.linkAll(mentions, dict) }
+    val linkedAll =
+      runner.runKeyed("linked_all", Seq("url")) { AliasLink.linkAll(mentions, dict) }
 
     // 1b. corpus hypernym mining over page prose (A5/N9 — Hearst patterns),
     // checkpointed per url first: the url-keyed table is the materialized
     // view [[runDelta]] maintains with a url-keyed row drop instead of
     // re-parsing dropped prose; the global aggregate is its rollup.
     val hypByUrl =
-      runner.run("hypernyms_by_url") { hearstCountsByUrl(pagesText) }
+      runner.runKeyed("hypernyms_by_url", Seq("url")) {
+        hearstCountsByUrl(pagesText)
+      }
     runner.run("hypernyms") {
       hypByUrl.groupBy("sub", "obj").agg(sum("cnt").as("cnt"))
     }
@@ -510,7 +514,7 @@ object Pipeline {
         val nilAssign = runner.run("nil_entities", report = nilRep) {
           NilCluster.cluster(keptUnlinked, nilRep)
         }
-        runner.run("subjects") {
+        runner.runKeyed("subjects", Seq("url")) {
           componentsSubjects(linked, keptUnlinked, nilAssign)
         }
       case Canonicalization.ScoredEd(meT, mmT, pathT, meScore, scoreFn) =>
@@ -544,13 +548,13 @@ object Pipeline {
     // (both rule miners, both candidate counts, provenance) — checkpoint it
     // once instead of paying the corpus-wide distinct shuffle per consumer
     val seedTypes = seeds.entityTypes.select(col("ent"), col("tpe"))
-    val subjectListings = runner.run("subject_listings") {
+    val subjectListings = runner.runKeyed("subject_listings", Seq("url")) {
       subjects.select("url", "listing_key", "ent").distinct()
     }
-    val typeRules = runner.run("type_rules") {
+    val typeRules = runner.runKeyed("type_rules", Seq("url")) {
       RuleMining.listingTypeRules(subjectListings, seedTypes)
     }
-    val relationRules = runner.run("relation_rules") {
+    val relationRules = runner.runKeyed("relation_rules", Seq("url")) {
       RuleMining.listingRelationRules(subjectListings, seeds.seedRelations)
     }
     val labelCounts = runner.run("label_counts") { labelCountsOf(subjects) }
@@ -568,7 +572,7 @@ object Pipeline {
     val relCandCounts = runner.run("rel_cand_counts") {
       relCandCountsOf(subjectListings, relationRules)
     }
-    val provPairs = runner.run("prov_pairs") {
+    val provPairs = runner.runKeyed("prov_pairs", Seq("url")) {
       provPairsOf(subjectListings, typeRules)
     }
     emitStages(spark, runner,

@@ -47,7 +47,7 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
     def loopCols: (Long, Boolean) =
       if (report == null) (-1L, true) else (report.rounds, report.converged)
     if (done(stage)) {
-      val df = spark.read.parquet(path(stage))
+      val df = StageRunner.read(spark, path(stage))
       appendLineage(Seq((stage, runId, rowsIn, df.count(), 0L,
         (System.nanoTime() - t0) / 1000000, true, -1L, true)))
       df
@@ -58,6 +58,36 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
       appendLineage(Seq((stage, runId, rowsIn, df.count(), 0L,
         (System.nanoTime() - t0) / 1000000, false, rounds, conv)))
       df
+    }
+  }
+
+  /** [[run]] for a CARRYABLE key-keyed stage: under
+    * `graft.delta.bucketedCarry` the checkpoint is laid out in
+    * [[StageRunner.BucketCol]] directories (hash of `keys.head`, bucket
+    * count recorded beside the table), so a later [[runCarried]] layer
+    * resolves with BUCKET-PRUNED drops — untouched buckets stream through
+    * with no join at all and the anti-join's corpus side shrinks to the
+    * touched buckets, with NO broadcast of the drop set (the
+    * >MaxBroadcastKeys re-crawl shape at 10^12 docs, SCALE.md). With the
+    * conf off (default) this IS [[run]]. */
+  def runKeyed(stage: String, keys: Seq[String], rowsIn: Long = -1L)
+              (f: => DataFrame): DataFrame = {
+    if (!StageRunner.bucketedCarry(spark)) run(stage, rowsIn)(f)
+    else {
+      val t0 = System.nanoTime()
+      if (done(stage)) {
+        val df = StageRunner.read(spark, path(stage))
+        appendLineage(Seq((stage, runId, rowsIn, df.count(), 0L,
+          (System.nanoTime() - t0) / 1000000, true, -1L, true)))
+        df
+      } else {
+        val n = StageRunner.carryBuckets(spark)
+        StageRunner.writeBucketed(f, path(stage), keys.head, n)
+        val df = StageRunner.read(spark, path(stage))
+        appendLineage(Seq((stage, runId, rowsIn, df.count(), 0L,
+          (System.nanoTime() - t0) / 1000000, false, -1L, true)))
+        df
+      }
     }
   }
 
@@ -103,18 +133,30 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
         .get("graft.delta.maxLayerDepth", StageRunner.MaxLayerDepth.toString)
         .toInt
       val depth = StageRunner.layerDepth(parentPath) + 1
+      val bucketed = StageRunner.bucketedCarry(spark)
       val df =
         if (depth > maxDepth) {
           // compact: one full materialization resets the chain
           val resolved = StageRunner.read(spark, parentPath)
             .join(drops, keys, "left_anti")
-            .unionByName(spark.read.parquet(freshPath))
-          resolved.write.mode(SaveMode.Overwrite).parquet(path(stage))
-          spark.read.parquet(path(stage))
+            .unionByName(spark.read.parquet(freshPath).drop(StageRunner.BucketCol))
+          if (bucketed)
+            StageRunner.writeBucketed(resolved, path(stage), keys.head,
+                                      StageRunner.carryBuckets(spark))
+          else
+            resolved.write.mode(SaveMode.Overwrite).parquet(path(stage))
+          StageRunner.read(spark, path(stage))
         } else {
-          drops.select(keys.map(col): _*)
-            .write.mode(SaveMode.Overwrite)
-            .parquet(s"${path(stage)}/_layer_drops")
+          // bucketed mode shuffles the SMALL side into the parent's bucket
+          // layout at write time, so resolution can prune (read below)
+          val parentBuckets = StageRunner.bucketsOf(parentPath)
+          val dropCols = drops.select(keys.map(col): _*)
+          if (parentBuckets > 0)
+            StageRunner.writeBucketed(dropCols,
+              s"${path(stage)}/_layer_drops", keys.head, parentBuckets)
+          else
+            dropCols.write.mode(SaveMode.Overwrite)
+              .parquet(s"${path(stage)}/_layer_drops")
           Files.write(
             Paths.get(path(stage), "_layer"),
             (s"parent=$parentPath\nfresh=$freshPath\ndepth=$depth\n" +
@@ -188,22 +230,84 @@ object StageRunner {
       .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
       .toMap
 
+  /** The url-bucketed carry shape (SCALE.md's >MaxBroadcastKeys re-crawl
+    * rule): carryable checkpoints lay out in hash-of-key directories so
+    * layer resolution prunes — see [[StageRunner#runKeyed]]. */
+  val BucketCol = "_kb"
+
+  private[runtime] def bucketedCarry(spark: SparkSession): Boolean =
+    spark.conf.get("graft.delta.bucketedCarry", "false").toBoolean
+
+  private[runtime] def carryBuckets(spark: SparkSession): Int =
+    spark.conf.get("graft.delta.carryBuckets", "64").toInt
+
+  private def bucketExpr(key: String, n: Int) =
+    pmod(xxhash64(col(key)), lit(n.toLong)).cast("int")
+
+  /** Write `df` partitioned by the key-hash bucket column, with the bucket
+    * count recorded beside the table (`_buckets` — underscore-prefixed, so
+    * parquet readers ignore it) for later layers to bucket their drops
+    * consistently. */
+  private[runtime] def writeBucketed(df: DataFrame, path: String,
+                                     key: String, n: Int): Unit = {
+    df.withColumn(BucketCol, bucketExpr(key, n))
+      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
+    Files.write(Paths.get(path, "_buckets"),
+                n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Bucket count of a stage table, resolved through layer chains to the
+    * materialized root (0 = unbucketed). */
+  private[runtime] def bucketsOf(path: String): Int = {
+    if (Files.exists(Paths.get(path, "_layer"))) bucketsOf(metaOf(path)("parent"))
+    else if (Files.exists(Paths.get(path, "_buckets")))
+      new String(Files.readAllBytes(Paths.get(path, "_buckets")),
+                 java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    else 0
+  }
+
   /** Read a stage table, resolving carry layers recursively:
-    * `parent − drops ∪ fresh` per layer, drops broadcast (delta-sized by
-    * construction; compaction bounds the recursion). */
-  def read(spark: SparkSession, path: String): DataFrame = {
+    * `parent − drops ∪ fresh` per layer (compaction bounds the recursion).
+    *
+    * Two join shapes per layer:
+    *  - unbucketed (default): drops are delta-sized by construction, so
+    *    AQE plans a broadcast anti-join; at high churn it degrades to a
+    *    shuffle instead of OOMing the driver;
+    *  - bucketed root (`graft.delta.bucketedCarry`): drops were written
+    *    INTO the root's bucket layout, so resolution collects only the
+    *    touched BUCKET IDS (≤ carryBuckets values, never the keys) and
+    *    splits the parent on them — untouched buckets stream through with
+    *    no join at all (the `_kb` filter pushes down the chain to the root
+    *    scan as directory pruning) and the anti-join's corpus side is just
+    *    the touched buckets. Nothing broadcasts and nothing corpus-sized
+    *    shuffles on a host-clustered re-crawl, whatever the churn. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    resolve(spark, path).drop(BucketCol)
+
+  private def resolve(spark: SparkSession, path: String): DataFrame = {
     val meta = Paths.get(path, "_layer")
     if (!Files.exists(meta)) spark.read.parquet(path)
     else {
       val m = metaOf(path)
       val drops = spark.read.parquet(s"$path/_layer_drops")
       val keys = m("keys").split(",").toSeq
-      // no forced broadcast: drops are delta-sized by construction, so AQE
-      // plans a broadcast join; at high churn it degrades to a shuffle
-      // instead of OOMing the driver
-      read(spark, m("parent"))
-        .join(drops, keys, "left_anti")
-        .unionByName(spark.read.parquet(m("fresh")))
+      val parent = resolve(spark, m("parent"))
+      val fresh = spark.read.parquet(m("fresh")).drop(BucketCol)
+      if (parent.columns.contains(BucketCol) &&
+          drops.columns.contains(BucketCol)) {
+        val n = bucketsOf(path)
+        val touched = drops.select(BucketCol).distinct().collect()
+          .map(_.getInt(0)).toSeq
+        val untouched = parent.filter(!col(BucketCol).isin(touched: _*))
+        val joined = parent.filter(col(BucketCol).isin(touched: _*))
+          .join(drops.drop(BucketCol), keys, "left_anti")
+        untouched.unionByName(joined)
+          .unionByName(fresh.withColumn(BucketCol, bucketExpr(keys.head, n)))
+      } else {
+        parent.drop(BucketCol)
+          .join(drops.drop(BucketCol), keys, "left_anti")
+          .unionByName(fresh)
+      }
     }
   }
 }
