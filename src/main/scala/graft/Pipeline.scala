@@ -183,12 +183,27 @@ object Pipeline {
     val runner = new StageRunner(spark, outDir, runId)
     val prefixStages = Seq("crawl_manifest", "seeds_fp", "pages_text",
                            "linked_all", "hypernyms_by_url", "hypernyms")
-    val miningStages = Seq("unlinked_label_counts", "subjects",
-                           "subject_listings", "type_rules", "relation_rules",
-                           "label_counts", "tag_stats", "valid_tags",
-                           "type_cand_counts", "rel_cand_counts", "prov_pairs")
+    val sharedMining = Seq("unlinked_label_counts", "subject_listings",
+                           "type_rules", "relation_rules", "label_counts",
+                           "tag_stats", "valid_tags", "type_cand_counts",
+                           "rel_cand_counts", "prov_pairs")
+    val edStateStages = Seq("subjects_ed", "ed_components", "ed_key_counts")
+    // ED deltas are component-bounded when prevDir recorded the ED state
+    // (an ED-mode run() or runDelta()); a prevDir WITHOUT it (e.g. a
+    // Components-mode run — the prefix is canon-free) bootstraps by
+    // recomputing the corpus stages once, which records the state for the
+    // next delta in the chain.
+    val edStateReady = canon match {
+      case _: Canonicalization.ScoredEd =>
+        edStateStages.forall(StageRunner.completed(prevDir, _))
+      case _ => false
+    }
     val needed = prefixStages ++
-      (if (canon == Canonicalization.Components) miningStages else Nil)
+      (canon match {
+        case Canonicalization.Components => sharedMining :+ "subjects"
+        case _: Canonicalization.ScoredEd =>
+          if (edStateReady) sharedMining ++ edStateStages else Nil
+      })
     for (stage <- needed)
       require(StageRunner.completed(prevDir, stage),
               s"runDelta: $prevDir lacks the '$stage' checkpoint — prevDir " +
@@ -304,10 +319,17 @@ object Pipeline {
       case Canonicalization.Components =>
         deltaMiningStages(spark, runner, prevDir, dropUrls, linkedAll,
                           linkedFresh, prevLinked, seeds)
-      case _ =>
-        // ED-mode delta: per-page prefix carried, corpus stages recomputed
-        // (path scores cross urls through shared keys)
-        corpusStages(spark, runner, linkedAll, dict, seeds, canon)
+      case ed: Canonicalization.ScoredEd =>
+        // ED-mode delta: path scores cross urls through shared keys, so
+        // the recompute is bounded by alignment-graph COMPONENT, not url
+        // (see deltaEdStages) — the carried per-page prefix plus a
+        // component-sliced re-disambiguation. Bootstrap (no recorded ED
+        // state in prevDir): recompute the corpus stages once.
+        if (edStateReady)
+          deltaEdStages(spark, runner, prevDir, dropUrls, linkedAll,
+                        linkedFresh, prevLinked, dict, seeds, ed)
+        else
+          corpusStages(spark, runner, linkedAll, dict, seeds, canon)
     }
   }
 
@@ -484,6 +506,52 @@ object Pipeline {
           .select("url", "listing_key", "mention_id", "label", "ent")
           .withColumn("is_new", lit(true)))
 
+  /** The ME scorer of a ScoredEd config as the whole-DataFrame seam. */
+  private def edScoreFn(ed: Canonicalization.ScoredEd)
+      : DataFrame => DataFrame =
+    ed.scoreFn.getOrElse(cand => cand.withColumn("score", ed.meScore))
+
+  /** ED subject assembly: kept mentions × NastyLinker assignment; NIL
+    * mentions take the content-derived "new:<alias key>" id (shared by the
+    * full run and the delta's component slice — one definition so they
+    * cannot diverge). */
+  private def edSubjectsOf(keptAll: DataFrame, assign: DataFrame): DataFrame =
+    keptAll.drop("ent")
+      .join(assign.select(col("mention_id"), col("ent").as("ed_ent")),
+            "mention_id")
+      .select(col("url"), col("listing_key"), col("mention_id"),
+              col("label"),
+              coalesce(col("ed_ent"),
+                       concat(lit("new:"), col("key"))).as("ent"),
+              col("ed_ent").isNull.as("is_new"))
+
+  /** The alignment graph's connected components, recorded as the ED delta
+    * state: one row per KEPT MENTION (comp, node, mention_id, url, key,
+    * label — isolated mentions are their own component) and one per ENTITY
+    * node (comp, node, nulls). Component ids are the component's minimum
+    * node id ([[graft.canonical.ConnectedComponents]]) — content-derived,
+    * so a component slice recomputed by [[runDelta]] reproduces the ids a
+    * full run would. */
+  private def edComponentsOf(keptAll: DataFrame, edges: DataFrame): DataFrame = {
+    val cc = graft.canonical.ConnectedComponents
+      .run(edges.select("src", "dst")).localCheckpoint()
+    val mentionRows = keptAll
+      .select(col("mention_id"), col("url"), col("label"),
+              Normalize.aliasKey(col("label")).as("key"))
+      .withColumn("node", concat(lit("m:"), col("mention_id")))
+      .join(cc, Seq("node"), "left_outer")
+      .select(coalesce(col("component"), col("node")).as("comp"),
+              col("node"), col("mention_id"), col("url"), col("key"),
+              col("label"))
+    val entityRows = cc.filter(col("node").startsWith("e:"))
+      .select(col("component").as("comp"), col("node"),
+              lit(null).cast("string").as("mention_id"),
+              lit(null).cast("string").as("url"),
+              lit(null).cast("string").as("key"),
+              lit(null).cast("string").as("label"))
+    mentionRows.unionByName(entityRows)
+  }
+
   /** The maintained mining aggregates every emit stage reads. */
   private case class Mining(typeRules: DataFrame, relationRules: DataFrame,
                             labelCounts: DataFrame, typeCandCounts: DataFrame,
@@ -517,29 +585,43 @@ object Pipeline {
         runner.runKeyed("subjects", Seq("url")) {
           componentsSubjects(linked, keptUnlinked, nilAssign)
         }
-      case Canonicalization.ScoredEd(meT, mmT, pathT, meScore, scoreFn) =>
+      case ed @ Canonicalization.ScoredEd(meT, mmT, _, _, _) =>
         // 4b. scored ED over ALL kept mentions: alignment graph (full
         // candidate dictionary, not the argmax-reduced one) → NastyLinker.
         // ONE corpus-side pass builds the graph; the split decides linked
-        // vs NIL, overriding the prior-argmax join above.
+        // vs NIL, overriding the prior-argmax join above. Besides the
+        // subject table, the run records the ED DELTA STATE a later
+        // [[runDelta]] maintains component-bounded (VERDICT r4 #3):
+        // `ed_components` (the alignment graph's connected components,
+        // mention + entity node rows) and `ed_key_counts` (kept-mention
+        // key counts — the GLOBAL hot-key cap a slice recompute must use).
+        // keptAll/edges are lazy + locally checkpointed: a fully-resumed
+        // outDir never rebuilds them, and a partial resume builds each
+        // exactly once across the stages that share them.
         val edRep = new LoopReport
-        runner.run("subjects_ed", report = edRep) {
-          val keptAll = fresh(linked)
-            .unionByName(fresh(keptUnlinked)
-              .withColumn("ent", lit(null).cast("string")))
-          val assign = AlignmentGraph.disambiguateScored(
-            keptAll.select("mention_id", "label"), dict,
-            scoreFn.getOrElse(cand => cand.withColumn("score", meScore)),
-            meT, mmT, pathT, report = edRep)
-          keptAll.drop("ent")
-            .join(assign.select(col("mention_id"),
-                                col("ent").as("ed_ent")), "mention_id")
-            .select(col("url"), col("listing_key"), col("mention_id"),
-                    col("label"),
-                    coalesce(col("ed_ent"),
-                             concat(lit("new:"), col("key"))).as("ent"),
-                    col("ed_ent").isNull.as("is_new"))
+        lazy val keptAll = fresh(linked)
+          .unionByName(fresh(keptUnlinked)
+            .withColumn("ent", lit(null).cast("string")))
+          .localCheckpoint()
+        lazy val edges = AlignmentGraph.buildScored(
+            keptAll.select("mention_id", "label"), dict, edScoreFn(ed),
+            meT, mmT)
+          .localCheckpoint()
+        val subjectsEd = runner.run("subjects_ed", report = edRep) {
+          val assign = AlignmentGraph.clusterEdges(
+            keptAll.select("mention_id", "label"), edges,
+            ed.pathThreshold, edRep)
+          edSubjectsOf(keptAll, assign)
         }
+        runner.runKeyed("ed_components", Seq("comp")) {
+          edComponentsOf(keptAll, edges)
+        }
+        runner.run("ed_key_counts") {
+          AlignmentGraph.graphMentions(
+              subjectsEd.select("mention_id", "label"))
+            .groupBy("key").agg(count(lit(1)).as("cnt"))
+        }
+        subjectsEd
     }
 
     // 6a. mining aggregates (url-keyed tables + count views) — the
@@ -591,17 +673,24 @@ object Pipeline {
     * page-local ([[NilCluster.cluster]]), listing rules are per
     * (url, listing_key) aggregates, and the count views are additive over
     * url contributions — so slice ∪ carry ≡ full recompute exactly. */
-  private def deltaMiningStages(spark: SparkSession, runner: StageRunner,
-                                prevDir: String, dropUrls: DataFrame,
-                                linkedAll: DataFrame, linkedFresh: DataFrame,
-                                prevLinked: DataFrame,
-                                seeds: Seeds): DataFrame = {
-    // count views are small and materialized; url-keyed carried tables
-    // resolve through their layer chain
+  /** The flip state every delta mode needs before slicing: maintained F9
+    * label counts + the labels whose frequent-verdict flipped, maintained
+    * A9 tag stats + validity and the flipped (tpe, tag) pairs, plus the
+    * url widenings both flips induce. `subjectsStage` names the mode's
+    * subject table ("subjects" / "subjects_ed") for the tag-flip closure. */
+  private case class Flips(frequentNew: DataFrame, flippedLabels: DataFrame,
+                           validNew: DataFrame, validPrev: DataFrame,
+                           prevSubjects: DataFrame,
+                           f9FlipUrls: Option[DataFrame],
+                           tagFlipUrls: Option[DataFrame])
+
+  private def deltaFlipStages(spark: SparkSession, runner: StageRunner,
+                              prevDir: String, dropUrls: DataFrame,
+                              linkedAll: DataFrame, linkedFresh: DataFrame,
+                              prevLinked: DataFrame, seeds: Seeds,
+                              subjectsStage: String): Flips = {
     def prev(stage: String): DataFrame =
       spark.read.parquet(s"$prevDir/$stage")
-    def prevCarried(stage: String): DataFrame =
-      StageRunner.read(spark, s"$prevDir/$stage")
     val prevUnlCounts = prev("unlinked_label_counts")
 
     // F9 counts maintenance: minus = dropped urls' unlinked labels (from
@@ -648,8 +737,8 @@ object Pipeline {
       .filter(col("c") === 1).select("tpe", "tag")
       .localCheckpoint()
 
-    val prevSubjects = prevCarried("subjects")
-    val prevTypeRules = prevCarried("type_rules")
+    val prevSubjects = StageRunner.read(spark, s"$prevDir/$subjectsStage")
+    val prevTypeRules = StageRunner.read(spark, s"$prevDir/type_rules")
     val f9FlipUrls =
       if (flipped.isEmpty) None
       else Some(linkedAll.filter(col("ent").isNull)
@@ -670,7 +759,18 @@ object Pipeline {
           .join(hintSmall(flippedTags), Seq("tpe", "tag"), "left_semi")
           .select("url"))
       }
-    val widenings = f9FlipUrls.toSeq ++ tagFlipUrls
+    Flips(frequentNew, flipped, validNew, validPrev, prevSubjects,
+          f9FlipUrls, tagFlipUrls)
+  }
+
+  private def deltaMiningStages(spark: SparkSession, runner: StageRunner,
+                                prevDir: String, dropUrls: DataFrame,
+                                linkedAll: DataFrame, linkedFresh: DataFrame,
+                                prevLinked: DataFrame,
+                                seeds: Seeds): DataFrame = {
+    val flips = deltaFlipStages(spark, runner, prevDir, dropUrls, linkedAll,
+                                linkedFresh, prevLinked, seeds, "subjects")
+    val widenings = flips.f9FlipUrls.toSeq ++ flips.tagFlipUrls
     val affectedUrls = hintSmall(
       (if (widenings.isEmpty) dropUrls
        else widenings.foldLeft(dropUrls.select("url"))(_ unionByName _)
@@ -683,7 +783,7 @@ object Pipeline {
     val (linkedA, unlinkedA) =
       AliasLink.splitLinked(linkedAll.join(affectedUrls, Seq("url"), "left_semi"))
     val keptUnlinkedA = unlinkedA
-      .join(hintSmall(fresh(frequentNew)), Seq("label"), "left_anti")
+      .join(hintSmall(fresh(flips.frequentNew)), Seq("label"), "left_anti")
     val nilRep = new LoopReport
     val nilAssignA = runner.run("nil_entities_fresh", report = nilRep) {
       NilCluster.cluster(keptUnlinkedA, nilRep)
@@ -697,7 +797,198 @@ object Pipeline {
     }
     runner.runCarried("subjects", prevDir, Seq("url"), affectedUrls,
                       runner.pathOf("subjects_fresh"))
-    val prevSubjectsA = prevSubjects.join(affectedUrls, Seq("url"), "left_semi")
+    val prevSubjectsA =
+      flips.prevSubjects.join(affectedUrls, Seq("url"), "left_semi")
+    deltaMiningCore(spark, runner, prevDir, affectedUrls, subjectsA,
+                    prevSubjectsA, seeds, flips)
+  }
+
+  /** ScoredEd-mode DELTA: component-bounded recompute (VERDICT r4 #3 —
+    * this path used to recompute every corpus stage). NastyLinker's
+    * decisions are COMPONENT-LOCAL (CC → per-component split), so it
+    * suffices to re-run ED on the alignment-graph components the churn can
+    * reach and carry every other mention's assignment:
+    *
+    *  - graph-membership deltas: dropped-url mentions and F9 leavers exit;
+    *    fresh kept mentions and F9 entrants (labels that stopped being
+    *    frequent — on urls the crawl never touched) enter;
+    *  - the kept-mention KEY COUNTS are a maintained view (`ed_key_counts`)
+    *    because the MM hot-key cap is GLOBAL: a slice recompute must cap
+    *    by the new global counts, and a key whose hotness FLIPS changes
+    *    mm edges on every component holding it;
+    *  - affected components = components of exiting mentions ∪ components
+    *    holding a flipped key ∪ components ADJACENT to an entering
+    *    mention — via its key (old same-key mentions) and via its
+    *    dictionary candidates (old entity nodes); adjacency is direct
+    *    because only new mention nodes can bridge two old components
+    *    (an old mention belongs to exactly one), so one join closes it.
+    *    Both adjacency probes are deliberately SUPERSETS (no score/hotness
+    *    test) — recomputing an extra component is sound, missing one is
+    *    not;
+    *  - the slice (surviving members of affected components + entrants +
+    *    fresh) is closed under the new graph's edges by the same argument,
+    *    so it is a union of complete new-graph components: NastyLinker on
+    *    the slice ≡ the full run restricted to it, and the slice's CC ids
+    *    (min node id) reproduce the full run's;
+    *  - carries: `subjects_ed` drops the affected components' mention ids
+    *    (a MENTION-keyed layer — affected mentions live on untouched
+    *    urls); `ed_components` drops whole components (comp-keyed layer);
+    *    `ed_key_counts` applies the count identity. Downstream mining
+    *    runs [[deltaMiningCore]] over the urls holding any affected
+    *    mention (∪ the flip widenings), exactly like Components mode. */
+  private def deltaEdStages(spark: SparkSession, runner: StageRunner,
+                            prevDir: String, dropUrls: DataFrame,
+                            linkedAll: DataFrame, linkedFresh: DataFrame,
+                            prevLinked: DataFrame, dict: DataFrame,
+                            seeds: Seeds,
+                            ed: Canonicalization.ScoredEd): DataFrame = {
+    val flips = deltaFlipStages(spark, runner, prevDir, dropUrls, linkedAll,
+                                linkedFresh, prevLinked, seeds, "subjects_ed")
+    def prev(stage: String): DataFrame =
+      spark.read.parquet(s"$prevDir/$stage")
+    val prevComps = StageRunner.read(spark, s"$prevDir/ed_components")
+      .localCheckpoint()
+    val prevCompMentions = prevComps.filter(col("mention_id").isNotNull)
+    val prevKeyCounts = prev("ed_key_counts")
+
+    // — graph-membership deltas —
+    val leaverLabels = flips.flippedLabels
+      .join(fresh(flips.frequentNew), Seq("label"), "left_semi")
+    val entrantLabels = flips.flippedLabels
+      .join(fresh(flips.frequentNew), Seq("label"), "left_anti")
+    val droppedRows = prevCompMentions.join(dropUrls, Seq("url"), "left_semi")
+    val leaverRows = prevCompMentions
+      .join(hintSmall(leaverLabels.localCheckpoint()), Seq("label"), "left_semi")
+      .join(dropUrls, Seq("url"), "left_anti")
+    // entrants carry full linked rows (subject assembly needs listing_key)
+    val entrantRows = prevLinked.filter(col("ent").isNull)
+      .join(dropUrls, Seq("url"), "left_anti")
+      .join(hintSmall(entrantLabels.localCheckpoint()), Seq("label"), "left_semi")
+      .withColumn("ent", lit(null).cast("string"))
+    def keptAllOf(la: DataFrame): DataFrame = {
+      val (l, u) = AliasLink.splitLinked(la)
+      fresh(l).unionByName(
+        fresh(u.join(hintSmall(fresh(flips.frequentNew)),
+                     Seq("label"), "left_anti"))
+          .withColumn("ent", lit(null).cast("string")))
+    }
+    val freshKept = keptAllOf(linkedFresh).localCheckpoint()
+    val enteringMentions = fresh(freshKept.select("mention_id", "label"))
+      .unionByName(entrantRows.select("mention_id", "label"))
+      .localCheckpoint()
+
+    // — key-count maintenance + hotness flips (the GLOBAL mm cap) —
+    val keyCounts = runner.run("ed_key_counts") {
+      val minus = droppedRows.select("key")
+        .unionByName(leaverRows.select("key"))
+        .filter(length(col("key")) > 0)
+        .groupBy("key").agg(count(lit(1)).as("cnt"))
+      val plus = AlignmentGraph.graphMentions(enteringMentions)
+        .groupBy("key").agg(count(lit(1)).as("cnt"))
+      maintainCounts(prevKeyCounts, minus, plus, Seq("key"))
+    }
+    val hotNew = keyCounts
+      .filter(col("cnt") > AlignmentGraph.MaxKeyBucket).select("key")
+      .localCheckpoint()
+    val hotPrev = prevKeyCounts
+      .filter(col("cnt") > AlignmentGraph.MaxKeyBucket).select("key")
+    val flippedKeys = fresh(hotNew).unionByName(fresh(hotPrev))
+      .groupBy("key").agg(count(lit(1)).as("c"))
+      .filter(col("c") === 1).select("key")
+      .localCheckpoint()
+
+    // — affected components: exits ∪ flipped keys ∪ adjacency of entrants —
+    val enteringKeys = AlignmentGraph.graphMentions(enteringMentions)
+      .select("key").distinct().localCheckpoint()
+    val viaKey = prevCompMentions
+      .join(hintSmall(enteringKeys), Seq("key"), "left_semi").select("comp")
+    val enteringEntNodes = enteringKeys
+      .join(broadcast(dict.select("key", "ent")), Seq("key"))
+      .select(concat(lit("e:"), col("ent")).as("node")).distinct()
+    val viaEnt = prevComps.filter(col("mention_id").isNull)
+      .join(hintSmall(enteringEntNodes.localCheckpoint()),
+            Seq("node"), "left_semi")
+      .select("comp")
+    val viaFlippedKeys = prevCompMentions
+      .join(hintSmall(flippedKeys), Seq("key"), "left_semi").select("comp")
+    val affectedComps = hintSmall(
+      droppedRows.select("comp")
+        .unionByName(leaverRows.select("comp"))
+        .unionByName(viaKey).unionByName(viaEnt)
+        .unionByName(viaFlippedKeys)
+        .distinct().localCheckpoint())
+
+    // — the slice: surviving members of affected components + entrants +
+    //   fresh kept mentions (full rows via prevLinked / linkedFresh) —
+    val affectedPrevMentions = prevCompMentions
+      .join(affectedComps, Seq("comp"), "left_semi")
+      .localCheckpoint()
+    val survivorIds = affectedPrevMentions
+      .join(dropUrls, Seq("url"), "left_anti")
+      .join(hintSmall(leaverLabels), Seq("label"), "left_anti")
+      .select("mention_id")
+    val survivorRows = keptAllOf(
+      prevLinked.join(hintSmall(survivorIds.localCheckpoint()),
+                      Seq("mention_id"), "left_semi"))
+    val sliceAll = survivorRows.unionByName(entrantRows.select(
+        survivorRows.columns.map(col): _*))
+      .unionByName(freshKept)
+      .localCheckpoint()
+
+    // — component-slice ED recompute, with the GLOBAL hot-key cap —
+    val edRep = new LoopReport
+    lazy val sliceEdges = AlignmentGraph.buildScored(
+        sliceAll.select("mention_id", "label"), dict, edScoreFn(ed),
+        ed.meThreshold, ed.mmThreshold, hotKeysIn = Some(hotNew))
+      .localCheckpoint()
+    runner.run("subjects_ed_fresh", report = edRep) {
+      val assign = AlignmentGraph.clusterEdges(
+        sliceAll.select("mention_id", "label"), sliceEdges,
+        ed.pathThreshold, edRep)
+      edSubjectsOf(sliceAll, assign)
+    }
+    runner.run("ed_components_fresh") { edComponentsOf(sliceAll, sliceEdges) }
+
+    // — carries —
+    val dropMentionIds = hintSmall(
+      affectedPrevMentions.select("mention_id").localCheckpoint())
+    val subjectsEdNew = runner.runCarried("subjects_ed", prevDir,
+      Seq("mention_id"), dropMentionIds, runner.pathOf("subjects_ed_fresh"))
+    runner.runCarried("ed_components", prevDir, Seq("comp"), affectedComps,
+                      runner.pathOf("ed_components_fresh"))
+
+    // — mining maintenance over the urls holding any affected mention —
+    val edUrls = affectedPrevMentions.select("url")
+    val widenings = flips.f9FlipUrls.toSeq ++ flips.tagFlipUrls :+ edUrls :+
+      freshKept.select("url")
+    val affectedUrls = hintSmall(
+      widenings.foldLeft(dropUrls.select("url"))(_ unionByName _)
+        .distinct().localCheckpoint())
+    val subjectsA = runner.run("subjects_ed_affected") {
+      subjectsEdNew.join(affectedUrls, Seq("url"), "left_semi")
+    }
+    val prevSubjectsA =
+      flips.prevSubjects.join(affectedUrls, Seq("url"), "left_semi")
+    deltaMiningCore(spark, runner, prevDir, affectedUrls, subjectsA,
+                    prevSubjectsA, seeds, flips)
+  }
+
+  /** The mode-independent mining maintenance: given the affected urls and
+    * the NEW subjects for exactly that slice (plus the prev slice), every
+    * url-keyed table carries and every count view applies the maintenance
+    * identity. Shared by Components and ScoredEd deltas. */
+  private def deltaMiningCore(spark: SparkSession, runner: StageRunner,
+                              prevDir: String, affectedUrls: DataFrame,
+                              subjectsA: DataFrame, prevSubjectsA: DataFrame,
+                              seeds: Seeds, flips: Flips): DataFrame = {
+    def prev(stage: String): DataFrame =
+      spark.read.parquet(s"$prevDir/$stage")
+    def prevCarried(stage: String): DataFrame =
+      StageRunner.read(spark, s"$prevDir/$stage")
+    val seedTypes = seeds.entityTypes.select(col("ent"), col("tpe"))
+    val prevTypeRules = prevCarried("type_rules")
+    val validNew = flips.validNew
+    val validPrev = flips.validPrev
 
     val labelCounts = runner.run("label_counts") {
       maintainCounts(prev("label_counts"), labelCountsOf(prevSubjectsA),

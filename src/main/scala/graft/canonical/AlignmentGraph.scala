@@ -48,13 +48,9 @@ object AlignmentGraph {
   def buildScored(mentions: DataFrame, dict: DataFrame,
                   scoreFn: DataFrame => DataFrame,
                   meThreshold: Double = 0.5,
-                  mmThreshold: Double = 0.5): DataFrame = {
-    val keyed = mentions
-      .select(col("mention_id"), col("label"))
-      .withColumn("key", Normalize.aliasKey(col("label")))
-      // labels that normalize to "" (punctuation-only, non-Latin scripts)
-      // share a key vacuously — they must not form edges with each other
-      .filter(length(col("key")) > 0)
+                  mmThreshold: Double = 0.5,
+                  hotKeysIn: Option[DataFrame] = None): DataFrame = {
+    val keyed = graphMentions(mentions)
 
     // — ME edges: scored candidates above the threshold (strict >, :31).
     // NULL scores (partial scorer without .otherwise, null dict prior)
@@ -72,9 +68,13 @@ object AlignmentGraph {
     //   the (tiny) hot-key set — NOT a window over the mention set, which
     //   would sort every hot key's 10^8 boilerplate mentions in one task
     //   purely to discard them (the head-key skew the salted link exists
-    //   to avoid). —
-    val hotKeys = keyed.groupBy("key").agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") > MaxKeyBucket).select("key")
+    //   to avoid). `hotKeysIn` overrides the computed set: a COMPONENT
+    //   SLICE recompute (delta) must cap by the GLOBAL kept-mention key
+    //   counts, not the slice-local ones, or its mm edges diverge from a
+    //   full run's. —
+    val hotKeys = hotKeysIn.getOrElse(
+      keyed.groupBy("key").agg(count(lit(1)).as("bsize"))
+        .filter(col("bsize") > MaxKeyBucket).select("key"))
     val small = keyed.join(hotKeys, Seq("key"), "left_anti")
     val mm = small.select(col("mention_id").as("a"), col("key"))
       .join(small.select(col("mention_id").as("b"), col("key")), "key")
@@ -104,13 +104,36 @@ object AlignmentGraph {
                          meThreshold: Double = 0.5,
                          mmThreshold: Double = 0.5,
                          pathThreshold: Double = 0.75,
-                         report: graft.runtime.LoopReport = null): DataFrame = {
+                         report: graft.runtime.LoopReport = null,
+                         hotKeysIn: Option[DataFrame] = None): DataFrame = {
     // checkpoint: NastyLinker scans the edge set repeatedly (bidir groupBy,
     // CC, NIL subgraph) — without this the broadcast join + window + MM
     // self-join lineage would re-execute on every scan
     val edges = buildScored(mentions, dict, scoreFn, meThreshold,
-                            mmThreshold)
+                            mmThreshold, hotKeysIn)
       .localCheckpoint()
+    clusterEdges(mentions, edges, pathThreshold, report)
+  }
+
+  /** The mention key projection shared by the edge builder and the
+    * delta-maintained key-count view ([[graft.Pipeline]]'s `ed_key_counts`)
+    * — one definition so the hot-key cap and its maintenance can never
+    * disagree on which mentions are graph nodes. */
+  def graphMentions(mentions: DataFrame): DataFrame =
+    mentions
+      .select(col("mention_id"), col("label"))
+      .withColumn("key", Normalize.aliasKey(col("label")))
+      // labels that normalize to "" (punctuation-only, non-Latin scripts)
+      // share a key vacuously — they must not form edges with each other
+      .filter(length(col("key")) > 0)
+
+  /** NastyLinker split + isolated-mention totality over an already-built
+    * (and checkpointed) edge set — the tail of [[disambiguateScored]],
+    * public so a caller that also needs the EDGES (the ED delta records
+    * their connected components) builds them once. */
+  def clusterEdges(mentions: DataFrame, edges: DataFrame,
+                   pathThreshold: Double = 0.75,
+                   report: graft.runtime.LoopReport = null): DataFrame = {
     // clustered is consumed TWICE below (the left_anti probe and the union
     // output) — without its own checkpoint each action re-executes
     // NastyLinker's cluster-assembly join tree once per consumer

@@ -177,6 +177,72 @@ class DeltaSpec extends SparkSuite {
       outDir, prevDir, canon = Pipeline.Canonicalization.ScoredEd())
     val pr = TripleDiff.diff(triples, world.expectedTriples.toDS().toDF())
     assert(pr.precision == 1.0 && pr.recall == 1.0, s"ED-delta drift: $pr")
+    // CC-mode prevDir lacks the ED state → this was the BOOTSTRAP path,
+    // which must itself record the state for the next delta in the chain
+    Seq("subjects_ed", "ed_components", "ed_key_counts").foreach { s =>
+      assert(graft.runtime.StageRunner.completed(outDir, s),
+             s"bootstrap did not record $s")
+    }
+  }
+
+  test("ED-mode delta is COMPONENT-bounded and == a fresh full ED run, " +
+       "re-scoring components that span untouched urls") {
+    val ed = Pipeline.Canonicalization.ScoredEd()
+    val v2 = world.pages
+    val (v1, _, _) = previousCrawl(v2)
+    val prevDir = SparkSuite.tempDir("graft-edc-prev")
+    val outDir = SparkSuite.tempDir("graft-edc-out")
+    val freshDir = SparkSuite.tempDir("graft-edc-fresh")
+    Pipeline.run(spark, v1.toDS().toDF(), seeds, prevDir, canon = ed)
+    val delta = Pipeline.runDelta(spark, v2.toDS().toDF(), seeds,
+                                  outDir, prevDir, canon = ed)
+    val full = Pipeline.run(spark, v2.toDS().toDF(), seeds, freshDir,
+                            canon = ed)
+    val pr = TripleDiff.diff(delta, full)
+    if (pr.precision < 1.0 || pr.recall < 1.0) {
+      delta.join(full, Seq("subj", "pred", "obj", "is_literal"),
+                 "left_anti").show(30, truncate = false)
+      full.join(delta, Seq("subj", "pred", "obj", "is_literal"),
+                "left_anti").show(30, truncate = false)
+    }
+    assert(pr.precision == 1.0 && pr.recall == 1.0, s"ED comp-delta: $pr")
+    // the component slice crossed urls: the re-disambiguated slice holds
+    // mentions from urls the crawl never touched (shared keys/entities pull
+    // whole alignment components in — the case a url-sliced recompute
+    // cannot handle), yet stays FAR from the whole corpus
+    import org.apache.spark.sql.functions.col
+    val sliceUrls = spark.read.parquet(s"$outDir/subjects_ed_fresh")
+      .select("url").distinct()
+    val touched = spark.read.parquet(s"$outDir/pages_text_fresh")
+      .select("url").distinct()
+    val untouchedInSlice = sliceUrls.join(touched, Seq("url"), "left_anti")
+      .count()
+    assert(untouchedInSlice > 0,
+           "no untouched url in the ED slice — the cross-url case is dead")
+    val corpusUrls = full.sparkSession.read
+      .parquet(s"$freshDir/pages_text").select("url").distinct().count()
+    assert(sliceUrls.count() < corpusUrls,
+           "slice == corpus: the ED delta is not component-bounded")
+    // the ED state carries: both tables resolve and the components table
+    // drops whole components (comp-keyed layer)
+    assert(graft.runtime.StageRunner
+      .read(spark, s"$outDir/ed_components").count() > 0)
+  }
+
+  test("chained ED deltas: an ED delta outDir seeds the next ED delta") {
+    val ed = Pipeline.Canonicalization.ScoredEd()
+    val v2 = world.pages
+    val (v1, addedUrl, _) = previousCrawl(v2)
+    val mid = v2.filterNot(_.url == addedUrl) // v1 → mid → v2
+    val d0 = SparkSuite.tempDir("graft-edchain-0")
+    val d1 = SparkSuite.tempDir("graft-edchain-1")
+    val d2 = SparkSuite.tempDir("graft-edchain-2")
+    Pipeline.run(spark, v1.toDS().toDF(), seeds, d0, canon = ed)
+    Pipeline.runDelta(spark, mid.toDS().toDF(), seeds, d1, d0, canon = ed)
+    val triples = Pipeline.runDelta(spark, v2.toDS().toDF(), seeds, d2, d1,
+                                    canon = ed)
+    val pr = TripleDiff.diff(triples, world.expectedTriples.toDS().toDF())
+    assert(pr.precision == 1.0 && pr.recall == 1.0, s"ED chain drift: $pr")
   }
 
   test("a seeds change between runs refuses to carry (incl. multiset swaps)") {
