@@ -186,7 +186,7 @@ object Pipeline {
     val sharedMining = Seq("unlinked_label_counts", "subject_listings",
                            "type_rules", "relation_rules", "label_counts",
                            "tag_stats", "valid_tags", "type_cand_counts",
-                           "rel_cand_counts", "prov_pairs")
+                           "rel_cand_counts", "prov_pairs", "triples_prov")
     val edStateStages = Seq("subjects_ed", "ed_components", "ed_key_counts")
     // ED deltas are component-bounded when prevDir recorded the ED state
     // (an ED-mode run() or runDelta()); a prevDir WITHOUT it (e.g. a
@@ -1035,21 +1035,44 @@ object Pipeline {
                      relCandCountsOf(subjListA, relRulesA),
                      Seq("ent", "pred", "obj"))
     }
-    runner.run("prov_pairs_fresh") { provPairsOf(subjListA, typeRulesA) }
+    val provPairsFresh =
+      runner.run("prov_pairs_fresh") { provPairsOf(subjListA, typeRulesA) }
     val provPairs = runner.runCarried("prov_pairs", prevDir, Seq("url"),
                                       affectedUrls,
                                       runner.pathOf("prov_pairs_fresh"))
     emitStages(spark, runner,
                Mining(typeRules, relationRules, labelCounts, typeCandCounts,
-                      relCandCounts, provPairs), seeds)
+                      relCandCounts, provPairs), seeds,
+               provCarry = Some(ProvCarry(prevDir, affectedUrls,
+                                          provPairsFresh)))
   }
 
+  /** A delta run's provenance-carry context: the parent outDir, the
+    * affected-url drop set, and the fresh prov-pair slice (exactly the
+    * inputs `prov_pairs` itself carried with — so `triples_prov` and
+    * `prov_pairs` can never disagree on what changed). */
+  private case class ProvCarry(prevDir: String, affectedUrls: DataFrame,
+                               freshProvPairs: DataFrame)
+
   /** The emit stages: disjointness-guarded transitive typing, new-relation
-    * anti-join, and the pred-partitioned triple write — all reading
-    * CANDIDATE-sized maintained aggregates (never the corpus). Shared
-    * verbatim by full and delta runs. */
+    * anti-join, and the triple write — all reading CANDIDATE-sized
+    * maintained aggregates (never the corpus), EXCEPT provenance. Shared
+    * verbatim by full and delta runs.
+    *
+    * The triple table is physically TWO stages: `triples` (pred-partitioned
+    * — labels, types, relations, ontology flavors: all candidate-sized) and
+    * `triples_prov` (the prov:wasDerivedFrom partition — the one CORPUS-∝
+    * block, ~`mentions × pages` rows; ≙ the reference serializing
+    * provenance into its own .nt files, `serialize.py:231-239`). Keeping
+    * prov in its own url-keyed (obj = page url) carryable table is what
+    * makes a DELTA run's write bill churn-sized: the r5 soak ladder
+    * measured the monolithic triple re-emit as the dominant delta cost —
+    * ∝ corpus, the exact shape that cannot ship at 10^12 docs — and a
+    * carried layer replaces it with `O(churn)` fresh rows + a drop set
+    * (BENCH/BASELINE.md). */
   private def emitStages(spark: SparkSession, runner: StageRunner,
-                         m: Mining, seeds: Seeds): DataFrame = {
+                         m: Mining, seeds: Seeds,
+                         provCarry: Option[ProvCarry] = None): DataFrame = {
     val seedTypes = seeds.entityTypes.select(col("ent"), col("tpe"))
     val closRep = new LoopReport
     val closureSelf = Disjointness.closureWithSelf(seeds.taxonomyEdges, closRep)
@@ -1084,11 +1107,7 @@ object Pipeline {
       graft.taxonomy.Axioms.axiomFacts(axioms, allTypes, closureSelf)
     }
 
-    // 7. triples, partitioned by predicate. Provenance (both reference
-    // flavors): INSTANCE — every subject entity wasDerivedFrom the pages
-    // mentioning it (serialize.py:231-239); ONTOLOGY-CLASS — every mined
-    // type wasDerivedFrom the listings whose rule asserted it
-    // (serialize.py:158-164, classes ← their associated source pages).
+    // 7. triples, partitioned by predicate — the candidate-sized blocks.
     // Ontology flavors (serialize.py:85-146,209-220): class hierarchy +
     // labels + disjointness, predicate typing, hasValue restrictions, and
     // restriction-derived facts — all from tables the engine already holds.
@@ -1097,7 +1116,6 @@ object Pipeline {
         labelCounts = m.labelCounts,
         types = types,
         rels = relations,
-        provenance = m.provPairs,
         extra = Seq(
           TripleEmit.ontologyClassTriples(seeds.taxonomyEdges,
                                           seeds.disjointPairs),
@@ -1105,6 +1123,28 @@ object Pipeline {
             seeds.seedRelations.select("pred")),
           TripleEmit.restrictionTriples(axioms),
           TripleEmit.relationTriples(restrictionFacts)))
+    }
+
+    // 7a. the provenance partition (both reference flavors: INSTANCE —
+    // every subject entity wasDerivedFrom the pages mentioning it,
+    // serialize.py:231-239; ONTOLOGY-CLASS — every mined type
+    // wasDerivedFrom the listings whose rule asserted it,
+    // serialize.py:158-164). obj = the page url, so the table is url-keyed
+    // and carries like every other url-keyed stage: a full run writes it
+    // keyed (bucket-layout-capable), a delta run writes ONLY the affected
+    // slice as a layer over the parent's partition.
+    val provTrips = provCarry match {
+      case None =>
+        runner.runKeyed("triples_prov", Seq("obj")) {
+          TripleEmit.provenanceTriples(m.provPairs)
+        }
+      case Some(pc) =>
+        runner.run("triples_prov_fresh") {
+          TripleEmit.provenanceTriples(pc.freshProvPairs)
+        }
+        runner.runCarried("triples_prov", pc.prevDir, Seq("obj"),
+                          pc.affectedUrls.select(col("url").as("obj")),
+                          runner.pathOf("triples_prov_fresh"))
     }
 
     // 7b. void metadata (serialize.py:55-83) — three candidate-sized aggs,
@@ -1117,6 +1157,6 @@ object Pipeline {
       val nPred = seeds.seedRelations.select("pred").distinct().count()
       TripleEmit.metadataTriples(spark, nEnt, nCls, nPred)
     }
-    trip
+    trip.unionByName(provTrips)
   }
 }

@@ -58,22 +58,28 @@ object TripleEmit {
   /** [[assemble]] over the pipeline's maintained aggregates: label COUNTS
     * instead of raw mention labels (so a delta run feeds the materialized
     * view straight through), plus optional extra pre-shaped triple blocks
-    * (ontology flavors). */
+    * (ontology flavors).
+    *
+    * `provenance` may be null: the CORPUS-sized provenance block lives in
+    * its own url-keyed carryable stage ([[graft.Pipeline]] `triples_prov` —
+    * ≙ the reference keeping provenance in separate .nt files,
+    * `serialize.py:231-239`), so a delta run re-writes only the churned
+    * slice instead of the whole corpus-∝ partition. When passed, its
+    * (ent, url) input is distinct by construction (provPairsOf ends in
+    * distinct; carried layers union url-disjoint slices) and
+    * prov:wasDerivedFrom appears in no other block, so it bypasses the
+    * dedup — never paying a corpus-wide shuffle. Everything else is
+    * candidate-sized and deduped across blocks (an axiom-derived fact can
+    * legitimately also be mined directly as a relation). */
   def assembleFromCounts(labelCounts: DataFrame, types: DataFrame,
-                         rels: DataFrame, provenance: DataFrame,
+                         rels: DataFrame, provenance: DataFrame = null,
                          extra: Seq[DataFrame] = Nil): DataFrame = {
     val base = majorityLabelsFromCounts(labelCounts)
       .unionByName(typeTriples(types))
       .unionByName(relationTriples(rels))
-    // provenance is the CORPUS-sized block; its (ent, url) input is
-    // distinct by construction (provPairsOf ends in distinct; carried
-    // layers union url-disjoint slices) and prov:wasDerivedFrom appears in
-    // no other block, so it bypasses the dedup — dropping the only
-    // corpus-wide shuffle this stage had. Everything else is
-    // candidate-sized and deduped across blocks (an axiom-derived fact can
-    // legitimately also be mined directly as a relation).
-    extra.foldLeft(base)(_ unionByName _).distinct()
-      .unionByName(provenanceTriples(provenance))
+    val deduped = extra.foldLeft(base)(_ unionByName _).distinct()
+    if (provenance == null) deduped
+    else deduped.unionByName(provenanceTriples(provenance))
   }
 
   // — ontology-side serialization flavors (r3 VERDICT missing #2) —

@@ -22,7 +22,7 @@ class ResumeSpec extends SparkSuite {
     def rm(p: java.io.File): Unit = {
       if (p.isDirectory) p.listFiles.foreach(rm); p.delete()
     }
-    Seq("types", "relations", "triples").foreach(s =>
+    Seq("types", "relations", "triples", "triples_prov").foreach(s =>
       rm(new java.io.File(s"$outDir/$s")))
 
     val second = Pipeline.run(spark, pagesDf, seeds, outDir, runId = "run-2")
@@ -36,7 +36,8 @@ class ResumeSpec extends SparkSuite {
       .select("stage", "resumed").as[(String, Boolean)].collect().toMap
     assert(lin("pages_text") && lin("mentions") && lin("linked_all"),
            s"early stages should resume: $lin")
-    assert(!lin("types") && !lin("relations") && !lin("triples"),
+    assert(!lin("types") && !lin("relations") && !lin("triples") &&
+             !lin("triples_prov"),
            s"late stages should re-run: $lin")
   }
 
