@@ -2,28 +2,33 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 /** args: pagesPath [mode] [churnPct] — mode "cc" (default), "ed"
-  * (ScoredEd), or "delta" (full run, then an incremental run over a
+  * (ScoredEd), "delta" (full run, then an incremental run over a
   * re-crawl with ~churnPct% of pages modified, default 1 — measures the
   * delta-refresh bill vs the full bill; 10 evidences the 1×-churn
-  * maintenance cost at high churn). */
+  * maintenance cost at high churn), or "eddelta" (the same full+delta
+  * pair in ScoredEd mode — exercises the component-bounded ED delta). */
 object PipelineSoak {
   def main(args: Array[String]): Unit = {
     val pagesPath = args(0)
     val mode = if (args.length > 1) args(1) else "cc"
     val churnPct = if (args.length > 2) args(2).toInt else 1
+    val nCountries = if (args.length > 3) args(3).toInt else 250
+    val knownPer = if (args.length > 4) args(4).toInt else 12
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.core.Normalize.register(spark)
-    val world = graft.testkit.CorpusGen.World(nCountries = 250, knownPerListing = 12)
+    val world = graft.testkit.CorpusGen.World(nCountries = nCountries,
+                                              knownPerListing = knownPer)
     val seeds = world.seeds(spark)
     val out = java.nio.file.Files.createTempDirectory("graft-soak").toString
     val pages = spark.read.parquet(pagesPath)
     val n = pages.count()
     val canon =
-      if (mode == "ed") graft.Pipeline.Canonicalization.ScoredEd()
+      if (mode == "ed" || mode == "eddelta")
+        graft.Pipeline.Canonicalization.ScoredEd()
       else graft.Pipeline.Canonicalization.Components
     val t0 = System.nanoTime()
     val triples = graft.Pipeline.run(spark, pages, seeds, out, canon = canon)
@@ -31,7 +36,7 @@ object PipelineSoak {
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"SOAK mode=$mode pages=$n triples=$nt sec=$sec " +
             s"pages_per_s=${n/sec} triples_per_s=${nt/sec}")
-    if (mode == "delta") {
+    if (mode == "delta" || mode == "eddelta") {
       // re-crawl: ~churnPct% of pages get a new capture (bumped warc_ts,
       // body appended — changes text, not the mention set, so triples and
       // the correctness baseline are unchanged)
@@ -48,10 +53,11 @@ object PipelineSoak {
       val nChanged = v2.filter(changed).count()
       val outD = java.nio.file.Files.createTempDirectory("graft-soak-d").toString
       val tD = System.nanoTime()
-      val deltaTriples = graft.Pipeline.runDelta(spark, v2, seeds, outD, out)
+      val deltaTriples = graft.Pipeline.runDelta(spark, v2, seeds, outD, out,
+                                                 canon = canon)
       val ntD = deltaTriples.count()
       val secD = (System.nanoTime() - tD) / 1e9
-      println(s"SOAK mode=delta churn_pct=$churnPct pages=$n " +
+      println(s"SOAK mode=$mode churn_pct=$churnPct pages=$n " +
               s"changed=$nChanged triples=$ntD " +
               s"sec=$secD pages_per_s=${n/secD} full_sec=$sec " +
               s"speedup=${sec/secD}")
