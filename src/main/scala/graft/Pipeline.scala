@@ -1019,22 +1019,36 @@ object Pipeline {
     val prevTypeRulesA = prevTypeRules.join(affectedUrls, Seq("url"), "left_semi")
     val prevRelRulesA = prevRelRules.join(affectedUrls, Seq("url"), "left_semi")
 
+    // the count-view maintenance slices double as the TOUCHED-ENTITY sets
+    // the emit stages carry by: an entity absent from both slices has an
+    // unchanged candidate row set, hence unchanged types/relations rows
+    // (the guard, closure, and anti-joins are all per-entity given the
+    // fingerprint-enforced static seeds)
+    val typeMinusSlice = typeCandCountsOf(prevSubjectsA, prevTypeRulesA,
+                                          validPrev).localCheckpoint()
+    val typePlusSlice =
+      typeCandCountsOf(subjectsA, typeRulesA, validNew).localCheckpoint()
     val typeCandCounts = runner.run("type_cand_counts") {
       // minus under the PREVIOUS validity (what the recorded view
       // contains), plus under the new one; validity flips on untouched
       // urls are covered by the affected-set widening above
-      maintainCounts(prev("type_cand_counts"),
-                     typeCandCountsOf(prevSubjectsA, prevTypeRulesA,
-                                      validPrev),
-                     typeCandCountsOf(subjectsA, typeRulesA, validNew),
-                     Seq("ent", "tpe"))
+      maintainCounts(prev("type_cand_counts"), typeMinusSlice,
+                     typePlusSlice, Seq("ent", "tpe"))
     }
+    val relMinusSlice =
+      relCandCountsOf(prevSubjListA, prevRelRulesA).localCheckpoint()
+    val relPlusSlice =
+      relCandCountsOf(subjListA, relRulesA).localCheckpoint()
     val relCandCounts = runner.run("rel_cand_counts") {
-      maintainCounts(prev("rel_cand_counts"),
-                     relCandCountsOf(prevSubjListA, prevRelRulesA),
-                     relCandCountsOf(subjListA, relRulesA),
+      maintainCounts(prev("rel_cand_counts"), relMinusSlice, relPlusSlice,
                      Seq("ent", "pred", "obj"))
     }
+    val touchedTypeEnts = hintSmall(
+      typeMinusSlice.select("ent").unionByName(typePlusSlice.select("ent"))
+        .distinct().localCheckpoint())
+    val touchedRelEnts = hintSmall(
+      relMinusSlice.select("ent").unionByName(relPlusSlice.select("ent"))
+        .distinct().localCheckpoint())
     val provPairsFresh =
       runner.run("prov_pairs_fresh") { provPairsOf(subjListA, typeRulesA) }
     val provPairs = runner.runCarried("prov_pairs", prevDir, Seq("url"),
@@ -1043,16 +1057,21 @@ object Pipeline {
     emitStages(spark, runner,
                Mining(typeRules, relationRules, labelCounts, typeCandCounts,
                       relCandCounts, provPairs), seeds,
-               provCarry = Some(ProvCarry(prevDir, affectedUrls,
-                                          provPairsFresh)))
+               carry = Some(EmitCarry(prevDir, affectedUrls, provPairsFresh,
+                                      touchedTypeEnts, touchedRelEnts)))
   }
 
-  /** A delta run's provenance-carry context: the parent outDir, the
-    * affected-url drop set, and the fresh prov-pair slice (exactly the
+  /** A delta run's emit-carry context: the parent outDir, the
+    * affected-url drop set, the fresh prov-pair slice (exactly the
     * inputs `prov_pairs` itself carried with — so `triples_prov` and
-    * `prov_pairs` can never disagree on what changed). */
-  private case class ProvCarry(prevDir: String, affectedUrls: DataFrame,
-                               freshProvPairs: DataFrame)
+    * `prov_pairs` can never disagree on what changed), and the
+    * touched-entity sets of the two candidate count views (so `types`
+    * and `relations` recompute only entities whose candidates changed
+    * — both tables are entity-∝, which at web scale is corpus-∝). */
+  private case class EmitCarry(prevDir: String, affectedUrls: DataFrame,
+                               freshProvPairs: DataFrame,
+                               touchedTypeEnts: DataFrame,
+                               touchedRelEnts: DataFrame)
 
   /** The emit stages: disjointness-guarded transitive typing, new-relation
     * anti-join, and the triple write — all reading CANDIDATE-sized
@@ -1072,28 +1091,66 @@ object Pipeline {
     * (BENCH/BASELINE.md). */
   private def emitStages(spark: SparkSession, runner: StageRunner,
                          m: Mining, seeds: Seeds,
-                         provCarry: Option[ProvCarry] = None): DataFrame = {
+                         carry: Option[EmitCarry] = None): DataFrame = {
     val seedTypes = seeds.entityTypes.select(col("ent"), col("tpe"))
     val closRep = new LoopReport
     val closureSelf = Disjointness.closureWithSelf(seeds.taxonomyEdges, closRep)
 
-    val types = runner.run("types", report = closRep) {
-      val cand = m.typeCandCounts.select("ent", "tpe")
-        .join(seedTypes, Seq("ent", "tpe"), "left_anti") // J8: drop existing
+    // the per-entity type derivation (J8 + disjointness guard + transitive
+    // closure): entity-local given the seed tables, so a delta run may
+    // evaluate it on any entity-complete candidate subset
+    def typesOf(candCounts: DataFrame, seedT: DataFrame): DataFrame = {
+      val cand = candCounts.select("ent", "tpe")
+        .join(seedT, Seq("ent", "tpe"), "left_anti") // J8: drop existing
       val guarded = Disjointness.filterCandidates(
-        cand, seedTypes, closureSelf, seeds.disjointPairs)
+        cand, seedT, closureSelf, seeds.disjointPairs)
       // transitive typing: mined type + all its ancestors, minus existing
       guarded
         .join(broadcast(closureSelf), guarded("tpe") === closureSelf("node"))
         .select(col("ent"), col("anc").as("tpe")).distinct()
-        .join(seedTypes, Seq("ent", "tpe"), "left_anti")
+        .join(seedT, Seq("ent", "tpe"), "left_anti")
+    }
+    def relationsOf(candCounts: DataFrame, seedRels: DataFrame): DataFrame =
+      candCounts.select("ent", "pred", "obj")
+        .join(seedRels.select(col("sub").as("ent"), col("pred"), col("obj")),
+              Seq("ent", "pred", "obj"), "left_anti") // J7: only NEW relations
+
+    // FULL run: entity-keyed carryable checkpoints. DELTA run: both tables
+    // are entity-∝ (at web scale, corpus-∝ — the r5 wide-world soak
+    // measured them as the dominant delta stages), so recompute ONLY the
+    // entities whose candidate-count rows changed and carry the rest as an
+    // ent-keyed layer; the seed side is semi-joined to the touched set so
+    // every join in the fresh slice is broadcast-sized.
+    val types = carry match {
+      case None =>
+        runner.runKeyed("types", Seq("ent"), report = closRep) {
+          typesOf(m.typeCandCounts, seedTypes)
+        }
+      case Some(c) =>
+        runner.run("types_fresh", report = closRep) {
+          typesOf(m.typeCandCounts
+                    .join(c.touchedTypeEnts, Seq("ent"), "left_semi"),
+                  seedTypes.join(c.touchedTypeEnts, Seq("ent"), "left_semi"))
+        }
+        runner.runCarried("types", c.prevDir, Seq("ent"), c.touchedTypeEnts,
+                          runner.pathOf("types_fresh"))
     }
 
-    val relations = runner.run("relations") {
-      m.relCandCounts.select("ent", "pred", "obj")
-        .join(seeds.seedRelations
-                .select(col("sub").as("ent"), col("pred"), col("obj")),
-              Seq("ent", "pred", "obj"), "left_anti") // J7: only NEW relations
+    val relations = carry match {
+      case None =>
+        runner.runKeyed("relations", Seq("ent")) {
+          relationsOf(m.relCandCounts, seeds.seedRelations)
+        }
+      case Some(c) =>
+        runner.run("relations_fresh") {
+          relationsOf(m.relCandCounts
+                        .join(c.touchedRelEnts, Seq("ent"), "left_semi"),
+                      seeds.seedRelations.join(
+                        c.touchedRelEnts.withColumnRenamed("ent", "sub"),
+                        Seq("sub"), "left_semi"))
+        }
+        runner.runCarried("relations", c.prevDir, Seq("ent"),
+                          c.touchedRelEnts, runner.pathOf("relations_fresh"))
     }
 
     // 6b. type-level axioms (Cat2Ax discipline over the listing rules) and
@@ -1133,7 +1190,7 @@ object Pipeline {
     // and carries like every other url-keyed stage: a full run writes it
     // keyed (bucket-layout-capable), a delta run writes ONLY the affected
     // slice as a layer over the parent's partition.
-    val provTrips = provCarry match {
+    val provTrips = carry match {
       case None =>
         runner.runKeyed("triples_prov", Seq("obj")) {
           TripleEmit.provenanceTriples(m.provPairs)

@@ -70,11 +70,14 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
     * touched buckets, with NO broadcast of the drop set (the
     * >MaxBroadcastKeys re-crawl shape at 10^12 docs, SCALE.md). With the
     * conf off (default) this IS [[run]]. */
-  def runKeyed(stage: String, keys: Seq[String], rowsIn: Long = -1L)
+  def runKeyed(stage: String, keys: Seq[String], rowsIn: Long = -1L,
+               report: LoopReport = null)
               (f: => DataFrame): DataFrame = {
-    if (!StageRunner.bucketedCarry(spark)) run(stage, rowsIn)(f)
+    if (!StageRunner.bucketedCarry(spark)) run(stage, rowsIn, report)(f)
     else {
       val t0 = System.nanoTime()
+      def loopCols: (Long, Boolean) =
+        if (report == null) (-1L, true) else (report.rounds, report.converged)
       if (done(stage)) {
         val df = StageRunner.read(spark, path(stage))
         appendLineage(Seq((stage, runId, rowsIn, df.count(), 0L,
@@ -84,8 +87,9 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
         val n = StageRunner.carryBuckets(spark)
         StageRunner.writeBucketed(f, path(stage), keys.head, n)
         val df = StageRunner.read(spark, path(stage))
+        val (rounds, conv) = loopCols
         appendLineage(Seq((stage, runId, rowsIn, df.count(), 0L,
-          (System.nanoTime() - t0) / 1000000, false, -1L, true)))
+          (System.nanoTime() - t0) / 1000000, false, rounds, conv)))
         df
       }
     }
