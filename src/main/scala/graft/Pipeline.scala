@@ -36,6 +36,22 @@ object Pipeline {
                    taxonomyEdges: DataFrame, disjointPairs: DataFrame,
                    seedRelations: DataFrame, redirects: DataFrame = null)
 
+  /** Pin the seed tables to cluster-resident blocks. A driver-collection-
+    * backed seed frame (LocalTableScan) re-pays a SINGLE-THREADED driver
+    * encode on every scan — the r5 wide-world soak measured ~30 s per scan
+    * of a 5.8 M-row seed table, and the mining/emit stages scan the seed
+    * side many times per run. One eager localCheckpoint turns every later
+    * scan into a parallel block read; parquet-backed seeds pay one cheap
+    * extra materialization. */
+  private def pinSeeds(s: Seeds): Seeds =
+    Seeds(aliases = s.aliases.localCheckpoint(),
+          entityTypes = s.entityTypes.localCheckpoint(),
+          taxonomyEdges = s.taxonomyEdges.localCheckpoint(),
+          disjointPairs = s.disjointPairs.localCheckpoint(),
+          seedRelations = s.seedRelations.localCheckpoint(),
+          redirects =
+            if (s.redirects == null) null else s.redirects.localCheckpoint())
+
   /** How mentions become canonical entities (step 4). */
   sealed trait Canonicalization
   object Canonicalization {
@@ -91,10 +107,11 @@ object Pipeline {
     * `canon` picks the canonicalization mode; resume is per-stage by name,
     * so use a FRESH outDir when changing modes (mode-specific stages are
     * name-suffixed, but downstream stages are shared). */
-  def run(spark: SparkSession, pages: DataFrame, seeds: Seeds,
+  def run(spark: SparkSession, pages: DataFrame, seedsIn: Seeds,
           outDir: String, runId: String = "run-1",
           canon: Canonicalization = Canonicalization.Components): DataFrame = {
     Normalize.register(spark)
+    val seeds = pinSeeds(seedsIn)
     val runner = new StageRunner(spark, outDir, runId)
 
     // 0. crawl manifest: the (url, warc_ts, content_fp) fingerprint of the
@@ -171,10 +188,11 @@ object Pipeline {
     * Seeds must be IDENTICAL to the previous run's (checked against the
     * recorded seeds fingerprint — a dictionary change invalidates carried
     * links; use [[run]] on a fresh outDir for that). */
-  def runDelta(spark: SparkSession, newPages: DataFrame, seeds: Seeds,
+  def runDelta(spark: SparkSession, newPages: DataFrame, seedsIn: Seeds,
                outDir: String, prevDir: String, runId: String = "delta-1",
                canon: Canonicalization = Canonicalization.Components): DataFrame = {
     Normalize.register(spark)
+    val seeds = pinSeeds(seedsIn)
     require(new java.io.File(outDir).getCanonicalPath !=
               new java.io.File(prevDir).getCanonicalPath,
             "runDelta: outDir must differ from prevDir — running in place " +
