@@ -41,6 +41,9 @@ object MiningQueries {
         concat(lit("o"), col("okey")).as("ent"),
         concat(lit("p"), (col("lf") / 2).cast("int")).as("tpe")))
       .distinct()
+      // consumed twice (the stats join + the inheritance universe) — pin
+      // so the corpus-sized distinct evaluates once
+      .localCheckpoint()
     val edges = Seq("t0" -> "p0", "t1" -> "p0", "t2" -> "p1", "t3" -> "p1",
                     "t4" -> "p2", "t5" -> "p2", "t6" -> "p2",
                     "p0" -> "root", "p1" -> "root", "p2" -> "root")

@@ -70,12 +70,16 @@ object ValidTags {
                          extraUniverse: DataFrame = null): DataFrame = {
     val spark = stats.sparkSession
     import spark.implicits._
-    val direct = probabilitiesFromStats(stats)
+    // the stats view feeds BOTH collects below; pin it so a caller passing
+    // an unmaterialized aggregation (e.g. the driver-contract query's
+    // corpus-sized join) evaluates it once, not per collect
+    val statsC = stats.localCheckpoint()
+    val direct = probabilitiesFromStats(statsC)
       .filter(col("proba") >= threshold).select("tpe", "tag")
       .as[(String, String)].collect()
     val base = taxonomyEdges.select(col("child").as("tpe"))
       .unionByName(taxonomyEdges.select(col("parent").as("tpe")))
-      .unionByName(stats.select("tpe"))
+      .unionByName(statsC.select("tpe"))
     val universe = (if (extraUniverse == null) base
                     else base.unionByName(extraUniverse))
       .distinct().as[String].collect()
