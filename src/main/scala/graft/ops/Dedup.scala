@@ -90,7 +90,11 @@ object Dedup {
     * bounded by doc length, so the collect is O(doc), never O(corpus)).
     * Output (a, b, jac) with jac >= 0.5. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+    // pin the exploded shingles: three consumers (rare-df aggregate, the
+    // blocked candidate join, the verify sets) would each re-pay the
+    // split+transform explode over the corpus; one materialization is the
+    // checkpoint-per-stage discipline a pipeline applies at scale
+    val sh = shingles(s, d).localCheckpoint()
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= RareDf).select("shingle")
     val shr = sh.join(rare, "shingle")

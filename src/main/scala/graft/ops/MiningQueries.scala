@@ -40,7 +40,10 @@ object MiningQueries {
       .unionByName(entBase.select(
         concat(lit("o"), col("okey")).as("ent"),
         concat(lit("p"), (col("lf") / 2).cast("int")).as("tpe")))
-      .distinct()
+      // no distinct on the union: entBase is already distinct and the two
+      // branches' tpe prefixes (t/p) are disjoint, so (ent, tpe) is unique
+      // by construction — a distinct here re-shuffles 2×|entities| rows
+      // for nothing
       // consumed twice (the stats join + the inheritance universe) — pin
       // so the corpus-sized distinct evaluates once
       .localCheckpoint()
