@@ -42,6 +42,7 @@ object SparkEntry {
     "a11_disjointness"      -> (MiningQueries.disjointnessCosine _),
     "cat2ax_pattern_probe"  -> (MiningQueries.cat2axPatternProbe _),
     "a9_valid_tags"         -> (MiningQueries.validTags _),
+    "m4_negative_chunks"    -> (MiningQueries.m4NegativeChunks _),
     "ontology_axiom_facts"  -> (KgQueries.axiomFactsQuery _),
     "ontology_classes"      -> (KgQueries.ontologyClassesQuery _),
     "ontology_mappings"     -> (KgQueries.ontologyMappingsQuery _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "kg_triples"              -> (KgQueries.triples _),
     "kg_delta_identity"       -> (KgQueries.deltaIdentity _),
     "ed_alignment_edges"      -> (KgQueries.alignmentEdges _),
+    "g11_bottomup_cluster"    -> (KgQueries.bottomUpClusterQuery _),
     "nif_context_roundtrip"   -> (NifQueries.contextRoundtrip _),
     "nif_mentions_roundtrip"  -> (NifQueries.mentionsRoundtrip _),
     "nif_type_lexicalisations" -> (NifQueries.typeLexicalisations _),
@@ -231,6 +233,7 @@ object SparkEntry {
     "a11_disjointness"       -> MiningQueries.disjointnessCosineSql,
     "cat2ax_pattern_probe"   -> MiningQueries.cat2axPatternProbeSql,
     "a9_valid_tags"          -> MiningQueries.validTagsSql,
+    "m4_negative_chunks"     -> MiningQueries.m4NegativeChunksSql,
     "ontology_axiom_facts"   -> KgQueries.axiomFactsOracle,
     "ontology_classes"       -> KgQueries.ontologyClassesOracle,
     "ontology_mappings"      -> KgQueries.ontologyMappingsOracle,
@@ -273,6 +276,7 @@ object SparkEntry {
     "kg_triples"             -> KgQueries.triplesOracle,
     "kg_delta_identity"      -> KgQueries.deltaIdentityOracle,
     "ed_alignment_edges"     -> KgQueries.alignmentEdgesOracle,
+    "g11_bottomup_cluster"   -> KgQueries.bottomUpClusterOracle,
     "nif_context_roundtrip"  -> NifQueries.contextRoundtripSql,
     "nif_mentions_roundtrip" -> NifQueries.mentionsRoundtripSql,
     "nif_type_lexicalisations" -> NifQueries.typeLexicalisationsSql,

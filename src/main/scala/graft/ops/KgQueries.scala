@@ -336,6 +336,76 @@ object KgQueries {
        UNION ALL SELECT * FROM localtrans
        UNION ALL SELECT * FROM relsx"""
 
+  /** Bottom-up union-find clustering (G11 + W5,
+    * [[graft.canonical.BottomUpCluster]]) as a driver oracle row. Fixture:
+    * mentions = customers, MM edges chain same-nation customers by
+    * consecutive custkey rank (broken every 3rd rank and at sub-threshold
+    * scores), ME candidates map each mention to its nation (sub-threshold
+    * for every 7th customer, plus a sub-threshold decoy entity). Every MM
+    * component therefore selects AT MOST ONE distinct entity, and under
+    * that shape the ordered fold's outcome is provably order-free:
+    * a merge is only ever skipped when both clusters already carry the
+    * (same) entity, which the final same-entity collapse re-unites — so
+    * cluster = MM component, entity = the component's selected entity,
+    * entity clusters collapse globally. That closed form is what the
+    * recursive-CTE oracle computes; the ORDER-SENSITIVE semantics
+    * (multi-entity skip, late-ME no-overwrite) are pinned by
+    * BottomUpClusterSpec's hand-traced goldens. */
+  def bottomUpClusterQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(s, d).select(
+        concat(lit("m"), lpad(col("c_custkey").cast("string"), 6, "0")).as("m"),
+        concat(lit("n"), lpad(col("c_nationkey").cast("string"), 3, "0")).as("ent"),
+        col("c_custkey"), col("c_nationkey"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("c_nationkey").orderBy("c_custkey")))
+    val me = cust.select(col("m").as("mention_id"), col("ent"),
+        when(col("c_custkey") % 7 === 0, lit(0.2))
+          .otherwise(lit(0.5) + (col("c_custkey") % 40) / 100.0).as("score"))
+      .unionByName(cust.select(col("m").as("mention_id"),
+        concat(lit("x"), col("c_nationkey")).as("ent"), lit(0.3).as("score")))
+    val nxt = cust.select(col("c_nationkey").as("nk2"),
+                          (col("rk") - 1).as("rk2"), col("m").as("m2"))
+    val mm = cust
+      .join(nxt, col("c_nationkey") === col("nk2") && col("rk") === col("rk2"))
+      .filter(col("rk") % 3 =!= 0)
+      .select(col("m").as("m1"), col("m2"),
+        when(col("rk") % 11 === 0, lit(0.1))
+          .otherwise(lit(0.6) + (col("rk") % 4) / 10.0).as("score"))
+    graft.canonical.BottomUpCluster.cluster(me, mm,
+      mmThreshold = 0.5, meThreshold = 0.45)
+  }
+
+  val bottomUpClusterOracle: String =
+    """WITH RECURSIVE cust AS (
+         SELECT 'm'||lpad(CAST(c_custkey AS VARCHAR),6,'0') AS m,
+                'n'||lpad(CAST(c_nationkey AS VARCHAR),3,'0') AS ent,
+                c_custkey, c_nationkey,
+                row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_custkey) AS rk
+         FROM customer),
+       mm AS (SELECT a.m AS m1, b.m AS m2 FROM cust a JOIN cust b
+                ON a.c_nationkey = b.c_nationkey AND b.rk = a.rk + 1
+              WHERE a.rk % 3 <> 0
+                AND (CASE WHEN a.rk % 11 = 0 THEN 0.1
+                     ELSE 0.6 + (a.rk % 4)/10.0 END) > 0.5),
+       sel AS (SELECT m, ent FROM cust WHERE c_custkey % 7 <> 0),
+       ud AS (SELECT m1 AS src, m2 AS dst FROM mm UNION SELECT m2, m1 FROM mm
+              UNION SELECT m, m FROM cust),
+       reach(node, r) AS (SELECT src, src FROM ud UNION
+              SELECT ud.dst, reach.r FROM reach JOIN ud ON reach.node = ud.src),
+       comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+       compent AS (SELECT c.component, min(s.ent) AS ent FROM comp c
+                   JOIN sel s ON c.node = s.m GROUP BY 1),
+       base AS (SELECT comp.node AS mention_id, compent.ent, comp.component
+                FROM comp LEFT JOIN compent
+                  ON comp.component = compent.component),
+       entmin AS (SELECT ent, min(mention_id) AS ec FROM base
+                  WHERE ent IS NOT NULL GROUP BY 1)
+       SELECT b.mention_id, b.ent, coalesce(e.ec, b.component) AS cluster_id
+       FROM base b LEFT JOIN entmin e ON b.ent = e.ent"""
+
   val alignmentEdgesOracle: String =
     """WITH m AS (SELECT 'm'||p_partkey AS mention_id,
                   'Widget '||(p_partkey % 300) AS label FROM part),

@@ -508,4 +508,75 @@ object MiningQueries {
          JOIN norms na ON na.tpe = p.ta
          JOIN norms nb ON nb.tpe = p.tb)
        SELECT ta, tb, round(cos, 6) AS cos FROM scored WHERE cos <= 0.132"""
+
+  /** M4 negative-sample synthesis ([[graft.mine.NegativeSampling]]) as a
+    * driver oracle row. Fixture: parts become listings (every 3rd an enum,
+    * the rest tables with 2..5 columns, 3..9 items); chunk counts = one
+    * chunk per listing. The md5-derived group/context/slot/item choices
+    * reproduce exactly in DuckDB (PortableHash's contract). */
+  def m4NegativeChunks(s: SparkSession, d: String): DataFrame = {
+    val ls = Tables.part(s, d).select(
+      concat(lit("L"),
+             lpad(col("p_partkey").cast("string"), 6, "0")).as("listing_key"),
+      when(col("p_partkey") % 3 === 0, "enum").otherwise("table")
+        .as("listing_type"),
+      when(col("p_partkey") % 3 === 0, lit(0))
+        .otherwise(lit(2) + col("p_partkey") % 4).cast("int").as("n_cols"),
+      (lit(3) + col("p_partkey") % 7).cast("int").as("n_items"))
+    val counts = ls.groupBy("listing_type").agg(count(lit(1)).as("n_chunks"))
+    graft.mine.NegativeSampling.negativeListings(ls, counts, 0.3, "m4")
+  }
+
+  val m4NegativeChunksSql: String =
+    """WITH ls AS (
+         SELECT 'L'||lpad(CAST(p_partkey AS VARCHAR),6,'0') AS listing_key,
+                CASE WHEN p_partkey % 3 = 0 THEN 'enum'
+                     ELSE 'table' END AS listing_type,
+                CAST(CASE WHEN p_partkey % 3 = 0 THEN 0
+                     ELSE 2 + p_partkey % 4 END AS INTEGER) AS n_cols,
+                CAST(3 + p_partkey % 7 AS INTEGER) AS n_items
+         FROM part),
+       keyed AS (SELECT *, CASE WHEN listing_type='table' THEN 't'||n_cols
+                           ELSE 'e' END AS gk FROM ls),
+       ranked AS (SELECT *, row_number() OVER (PARTITION BY gk
+                    ORDER BY listing_key) - 1 AS rank0 FROM keyed),
+       groups AS (SELECT listing_type, gk, count(*) AS grp_size
+                  FROM keyed GROUP BY 1,2 HAVING count(*) >= 3),
+       gw AS (SELECT *,
+                sum(grp_size) OVER (PARTITION BY listing_type
+                                    ORDER BY gk) AS cum_hi,
+                sum(grp_size) OVER (PARTITION BY listing_type
+                                    ORDER BY gk) - grp_size AS cum_lo,
+                sum(grp_size) OVER (PARTITION BY listing_type) AS total
+              FROM groups),
+       tc AS (SELECT listing_type,
+                CAST(floor(count(*) * CAST(0.3 AS DOUBLE)) AS BIGINT) AS nneg
+              FROM ls GROUP BY 1),
+       nidx AS (SELECT listing_type, unnest(range(nneg)) AS i FROM tc),
+       wgrp AS (SELECT n.listing_type, n.i, g.gk, g.grp_size
+                FROM nidx n JOIN gw g ON n.listing_type = g.listing_type
+                  AND (('0x'||substr(md5('m4|grp|'||CAST(n.i AS VARCHAR)),
+                        1,12))::BIGINT % g.total)
+                      BETWEEN g.cum_lo AND g.cum_hi - 1),
+       sized AS (SELECT *,
+           ('0x'||substr(md5('m4|ctx|'||CAST(i AS VARCHAR)),1,12))::BIGINT
+             % grp_size AS ctx_rank,
+           3 + ('0x'||substr(md5('m4|n|'||CAST(i AS VARCHAR)),1,12))::BIGINT
+             % (least(grp_size,16) - 3 + 1) AS n_slots,
+           ('0x'||substr(md5('m4|smp|'||CAST(i AS VARCHAR)),1,12))::BIGINT
+             % grp_size AS start
+         FROM wgrp),
+       wctx AS (SELECT s.*, r.listing_key AS ctx_listing_key, r.n_cols
+                FROM sized s JOIN ranked r
+                  ON s.gk = r.gk AND s.ctx_rank = r.rank0),
+       slots AS (SELECT listing_type, gk, i, n_cols, ctx_listing_key,
+                   start, grp_size, unnest(range(n_slots)) AS slot
+                 FROM wctx)
+       SELECT sl.listing_type||'#'||CAST(sl.i AS VARCHAR) AS neg_id,
+         sl.listing_type, sl.n_cols, sl.ctx_listing_key, sl.slot,
+         r.listing_key AS src_listing_key,
+         ('0x'||substr(md5('m4|it|'||CAST(sl.i AS VARCHAR)||'|'||
+           CAST(sl.slot AS VARCHAR)),1,12))::BIGINT % r.n_items AS item_idx
+       FROM slots sl JOIN ranked r ON sl.gk = r.gk
+         AND (sl.start + sl.slot) % sl.grp_size = r.rank0"""
 }
