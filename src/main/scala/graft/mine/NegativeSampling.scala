@@ -41,6 +41,54 @@ object NegativeSampling {
     PortableHash.md5PrefixLong(
       concat_ws("|", (lit(seed) :: lit(tag) :: cols.toList): _*), 12)
 
+  /** Deterministic dense 0-based rank of `listing_key` within each `gk`
+    * group — WITHOUT a per-group window. A window partitioned by `gk`
+    * hash-shuffles the corpus-sized listings table into ≤ #groups tasks
+    * (groups are column COUNTS — a handful of keys over 10^12 listings:
+    * one task per group). Instead: range-partition by (gk, key), pin the
+    * layout, collect the per-(partition, gk) counts (≤ partitions ×
+    * groups rows — bounded), and assign rank = broadcast prefix offset +
+    * running index inside the already-sorted partition. One balanced
+    * shuffle; the rank depends only on the global (gk, key) order, so it
+    * is parallelism-invariant. Requires unique keys (listing ids are). */
+  private def groupRank(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // pin: the counts job and the rank job must read the SAME layout
+    val sorted = df
+      .repartitionByRange(nPart, col("gk"), col("listing_key"))
+      .sortWithinPartitions("gk", "listing_key")
+      .localCheckpoint()
+    val counts = sorted
+      .groupBy(spark_partition_id().as("pid"), col("gk"))
+      .agg(count(lit(1)).as("c"))
+      .as[(Int, String, Long)].collect()
+    val offsets: Map[(Int, String), Long] =
+      counts.groupBy(_._2).iterator.flatMap { case (gk, rows) =>
+        val byPid = rows.sortBy(_._1)
+        byPid.map(_._1).zip(byPid.scanLeft(0L)(_ + _._3))
+          .map { case (pid, off) => (pid, gk) -> off }
+      }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val gkIdx = sorted.schema.fieldIndex("gk")
+    val outSchema = sorted.schema.add("rank0", LongType)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var curGk: String = null
+      var idx = 0L
+      it.map { r =>
+        val gk = r.getString(gkIdx)
+        if (gk != curGk) { curGk = gk; idx = bc.value((pid, gk)) }
+        val out = Row.fromSeq(r.toSeq :+ idx)
+        idx += 1
+        out
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** listings(listing_key, listing_type ∈ {enum, table}, n_cols, n_items),
     * chunkCounts(listing_type, n_chunks) →
     * (neg_id, listing_type, n_cols, ctx_listing_key, slot, src_listing_key,
@@ -55,9 +103,7 @@ object NegativeSampling {
     val keyed = listings.withColumn("gk",
       when(col("listing_type") === "table",
            concat(lit("t"), col("n_cols"))).otherwise(lit("e")))
-    val ranked = keyed.withColumn("rank0",
-      row_number().over(
-        Window.partitionBy("gk").orderBy("listing_key")) - 1)
+    val ranked = groupRank(keyed)
     val groups = keyed.groupBy("listing_type", "gk")
       .agg(count(lit(1)).as("grp_size"))
       .filter(col("grp_size") >= MinItems)
