@@ -90,6 +90,22 @@ object Pipeline {
     /** The prior scorer (alias-dictionary frequency) — `ScoredEd`'s
       * default `meScore`. */
     val DefaultMeScore: Column = col("freq")
+
+    /** The reference's BottomUpClusteringMatcher
+      * (`entity_disambiguation/matching/bottomup_clustering.py:20-83`) as a
+      * canonicalization mode: the same scored alignment graph as
+      * [[ScoredEd]], clustered by the ordered union-find edge fold
+      * ([[graft.canonical.BottomUpCluster]] — distributed per MM
+      * component) instead of the NastyLinker path split. Semantics differ
+      * from ScoredEd exactly as in the reference: a mention's cluster
+      * keeps its argmax entity with NO path threshold, so a weak-prior
+      * best candidate still links (where NastyLinker would demote to NIL).
+      * NIL ids stay "new:<alias key>" — MM edges only join equal keys, so
+      * every entity-less fold cluster is same-key-connected and the ids
+      * match the other modes. */
+    case class BottomUp(meThreshold: Double = 0.5, mmThreshold: Double = 0.5,
+                        meScore: Column = DefaultMeScore)
+        extends Canonicalization
   }
 
   /** NIL labels more frequent than this with no known entity are boilerplate
@@ -221,6 +237,11 @@ object Pipeline {
         case Canonicalization.Components => sharedMining :+ "subjects"
         case _: Canonicalization.ScoredEd =>
           if (edStateReady) sharedMining ++ edStateStages else Nil
+        // BottomUp deltas carry the per-page prefix and recompute the
+        // corpus stages (the fold is order-coupled across a component and
+        // no BU state is recorded; a component-bounded variant would
+        // mirror deltaEdStages)
+        case _: Canonicalization.BottomUp => Nil
       })
     for (stage <- needed)
       require(StageRunner.completed(prevDir, stage),
@@ -348,6 +369,8 @@ object Pipeline {
                         linkedFresh, prevLinked, dict, seeds, ed)
         else
           corpusStages(spark, runner, linkedAll, dict, seeds, canon)
+      case _: Canonicalization.BottomUp =>
+        corpusStages(spark, runner, linkedAll, dict, seeds, canon)
     }
   }
 
@@ -543,6 +566,19 @@ object Pipeline {
                        concat(lit("new:"), col("key"))).as("ent"),
               col("ed_ent").isNull.as("is_new"))
 
+  /** [[edSubjectsOf]] for the BottomUp fold's assignment, which only
+    * covers mentions in the fold domain (≥1 scored candidate or MM edge)
+    * — a LEFT join keeps the rest as NIL with the shared "new:<key>" id. */
+  private def buSubjectsOf(keptAll: DataFrame, assign: DataFrame): DataFrame =
+    keptAll.drop("ent")
+      .join(assign.select(col("mention_id"), col("ent").as("bu_ent")),
+            Seq("mention_id"), "left")
+      .select(col("url"), col("listing_key"), col("mention_id"),
+              col("label"),
+              coalesce(col("bu_ent"),
+                       concat(lit("new:"), col("key"))).as("ent"),
+              col("bu_ent").isNull.as("is_new"))
+
   /** The alignment graph's connected components, recorded as the ED delta
     * state: one row per KEPT MENTION (comp, node, mention_id, url, key,
     * label — isolated mentions are their own component) and one per ENTITY
@@ -640,6 +676,33 @@ object Pipeline {
             .groupBy("key").agg(count(lit(1)).as("cnt"))
         }
         subjectsEd
+      case bu: Canonicalization.BottomUp =>
+        // 4c. bottom-up union-find over the SAME scored alignment graph
+        // as ScoredEd, but clustered by the reference's ordered edge fold
+        // (per-MM-component, see BottomUpCluster) — argmax entity, no
+        // path-threshold demotion.
+        lazy val keptAll = fresh(linked)
+          .unionByName(fresh(keptUnlinked)
+            .withColumn("ent", lit(null).cast("string")))
+          .localCheckpoint()
+        runner.runKeyed("subjects_bu", Seq("url")) {
+          val edges = AlignmentGraph.buildScored(
+              keptAll.select("mention_id", "label"), dict,
+              cand => cand.withColumn("score", bu.meScore),
+              bu.meThreshold, bu.mmThreshold)
+            .localCheckpoint()
+          val me = edges.filter(col("dst").startsWith("e:"))
+            .select(expr("substring(src, 3)").as("mention_id"),
+                    expr("substring(dst, 3)").as("ent"),
+                    col("weight").as("score"))
+          val mm = edges.filter(col("dst").startsWith("m:"))
+            .select(expr("substring(src, 3)").as("m1"),
+                    expr("substring(dst, 3)").as("m2"),
+                    col("weight").as("score"))
+          val assign = graft.canonical.BottomUpCluster.cluster(
+            me, mm, bu.mmThreshold, bu.meThreshold)
+          buSubjectsOf(keptAll, assign)
+        }
     }
 
     // 6a. mining aggregates (url-keyed tables + count views) — the

@@ -185,6 +185,22 @@ class DeltaSpec extends SparkSuite {
     }
   }
 
+  test("delta composes with bottom-up canonicalization (corpus-stage recompute)") {
+    // BottomUp deltas carry the per-page prefix and recompute the corpus
+    // stages (the fold is order-coupled across components; no BU state is
+    // recorded) — the delta must equal the full bottom-up output, which at
+    // default thresholds equals the expected triples (PipelineSpec)
+    val v2 = world.pages
+    val (v1, _, _) = previousCrawl(v2)
+    val prevDir = SparkSuite.tempDir("graft-delta-bu-prev")
+    val outDir = SparkSuite.tempDir("graft-delta-bu-out")
+    Pipeline.run(spark, v1.toDS().toDF(), seeds, prevDir)
+    val triples = Pipeline.runDelta(spark, v2.toDS().toDF(), seeds,
+      outDir, prevDir, canon = Pipeline.Canonicalization.BottomUp())
+    val pr = TripleDiff.diff(triples, world.expectedTriples.toDS().toDF())
+    assert(pr.precision == 1.0 && pr.recall == 1.0, s"BU-delta drift: $pr")
+  }
+
   test("ED-mode delta is COMPONENT-bounded and == a fresh full ED run, " +
        "re-scoring components that span untouched urls") {
     val ed = Pipeline.Canonicalization.ScoredEd()

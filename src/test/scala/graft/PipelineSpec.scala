@@ -80,6 +80,31 @@ class PipelineSpec extends SparkSuite {
     assert(pr.precision == 1.0 && pr.recall == 1.0, s"split drift: $pr")
   }
 
+  test("bottom-up mode ≡ CC mode at default thresholds") {
+    // single selected entity per alignment component (the 0.3 B edge is
+    // cut at meThreshold=0.5), so the fold's closed form is the component
+    // attach — identical triples (bottomup_clustering.py:33-52)
+    val outDir = SparkSuite.tempDir("graft-bu-default")
+    val triples = Pipeline.run(spark, world.pages.toDS().toDF(), seeds,
+      outDir, canon = Pipeline.Canonicalization.BottomUp())
+    val pr = TripleDiff.diff(triples, world.expectedTriples.toDS().toDF())
+    assert(pr.precision == 1.0 && pr.recall == 1.0, s"bottom-up default: $pr")
+  }
+
+  test("bottom-up mode links the ambiguous mention by argmax — no path " +
+       "demotion (differs from ScoredEd at the same threshold)") {
+    // meThreshold=0.25 admits "Ada Prime"→B (0.3) into the graph, but the
+    // fold's ME edge is the per-mention ARGMAX (A, 0.7) and bottom-up has
+    // no path threshold (bottomup_clustering.py:59-65): the mention LINKS
+    // to A — the same triples as the default run, where ScoredEd at 0.25
+    // demotes it to new:adaprime (the hand-computed split test above)
+    val outDir = SparkSuite.tempDir("graft-bu-025")
+    val triples = Pipeline.run(spark, world.pages.toDS().toDF(), seeds,
+      outDir, canon = Pipeline.Canonicalization.BottomUp(meThreshold = 0.25))
+    val pr = TripleDiff.diff(triples, world.expectedTriples.toDS().toDF())
+    assert(pr.precision == 1.0 && pr.recall == 1.0, s"bottom-up argmax: $pr")
+  }
+
   test("ScoredEd scoreFn seam reproduces expected triples (batched path)") {
     // the whole-DataFrame scorer override (the batched-model seam): the
     // prior expressed as a scoreFn must reproduce the default run exactly —
