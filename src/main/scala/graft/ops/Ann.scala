@@ -33,19 +33,35 @@ object Ann {
   private[ops] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Per-vector norm, for hoisting OUT of pair stages: `sqrt(dot(e,e))` is
+    * the identical double wherever it is evaluated (strict index-order
+    * fold), and [[cosinePre]] keeps [[cosine]]'s exact `na*nb` product
+    * order — so precomputing norms once per VECTOR (linear) instead of
+    * once per PAIR (quadratic within blocks) is bit-identical, and the
+    * pair stage pays one array pass (the cross dot) instead of three. */
+  private[ops] def norm(e: Column): Column = sqrt(dot(e, e))
+
+  /** cos from per-side precomputed norms — bit-identical to [[cosine]]. */
+  private[ops] def cosinePre(a: Column, b: Column,
+                             na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** Exact top-5 cosine neighbors for query vectors vec_id < 10.
     * The query side is tiny → broadcast; corpus side is scanned once, no
     * shuffle until the per-query top-k window. */
   def bruteForceTopK(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+              col("nrm").as("qn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    e.select(col("vec_id").as("neighbor_id"), col("emb").as("ne"))
+    e.select(col("vec_id").as("neighbor_id"), col("emb").as("ne"),
+             col("nrm").as("nn"))
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qe"), col("ne")))
+      .withColumn("cos", cosinePre(col("qe"), col("ne"), col("qn"), col("nn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
@@ -86,8 +102,12 @@ object Ann {
                   nProbe: Int = 1): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cent_id").asc)
-    e.join(broadcast(centroids))
-      .withColumn("ccos", cosine(col("emb"), col("ce")))
+    // norms hoisted: once per vector / centroid row, not once per
+    // (vector × centroid) pair — bit-identical (see cosinePre)
+    e.withColumn("_ne", norm(col("emb")))
+      .join(broadcast(centroids.withColumn("_nc", norm(col("ce")))))
+      .withColumn("ccos",
+        cosinePre(col("emb"), col("ce"), col("_ne"), col("_nc")))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") <= nProbe)
       .select(col("vec_id"), col("emb"), col("cent_id").as("cell"),
@@ -110,10 +130,11 @@ object Ann {
   def ivfTopK(e: DataFrame, centroids: DataFrame, nProbe: Int): DataFrame = {
     val indexed = assignCells(e, centroids, nProbe = 1)
       .select(col("vec_id").as("neighbor_id"), col("emb").as("ne"),
-              col("cell"))
+              norm(col("emb")).as("nn"), col("cell"))
     val q = assignCells(e.filter(col("vec_id") >= 8 && col("vec_id") < 13),
                         centroids, nProbe)
-      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("cell"))
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+              norm(col("emb")).as("qn"), col("cell"))
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     indexed
@@ -121,7 +142,7 @@ object Ann {
       .filter(col("neighbor_id") =!= col("query_id"))
       // a (query, neighbor) pair can surface through several probed cells
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", cosine(col("qe"), col("ne")))
+      .withColumn("cos", cosinePre(col("qe"), col("ne"), col("qn"), col("nn")))
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
@@ -216,22 +237,23 @@ object Ann {
         lit(0.0), (acc, x) => acc + x)
       when(dotPlane > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val signed = e.select(col("vec_id"), col("emb"),
+    val signed = e.select(col("vec_id"), col("emb"), norm(col("emb")).as("nrm"),
       explode(array((0 until NumBands).map(b =>
         struct(lit(b).as("band"), sigBand(b).as("sig"))): _*)).as("bs"))
-      .select(col("vec_id"), col("emb"),
+      .select(col("vec_id"), col("emb"), col("nrm"),
               col("bs.band").as("band"), col("bs.sig").as("sig"))
     val small = signed.withColumn("bsize",
       count(lit(1)).over(Window.partitionBy("band", "sig")))
       .filter(col("bsize") <= MaxBucket)
     val cand = small.select(col("vec_id").as("a"), col("emb").as("ea"),
-                            col("band"), col("sig"))
+                            col("nrm").as("na"), col("band"), col("sig"))
       .join(small.select(col("vec_id").as("b"), col("emb").as("eb"),
-                         col("band"), col("sig")), Seq("band", "sig"))
+                         col("nrm").as("nb"), col("band"), col("sig")),
+            Seq("band", "sig"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "ea", "eb")
+      .select("a", "b", "ea", "eb", "na", "nb")
       .dropDuplicates("a", "b") // a pair may collide in both bands
-    cand.withColumn("cos", cosine(col("ea"), col("eb")))
+    cand.withColumn("cos", cosinePre(col("ea"), col("eb"), col("na"), col("nb")))
       .filter(col("cos") >= 0.3)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }

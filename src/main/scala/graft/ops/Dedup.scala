@@ -203,8 +203,12 @@ object Dedup {
     allPairs.unionByName(star).distinct()
   }
 
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshFrom(shingles(s, d))
+
+  /** Exact-oracle MinHash+LSH over a caller-supplied shingle frame (the
+    * containment gate pins ONE shingle frame and feeds both paths). */
+  private def minhashLshFrom(sh: DataFrame): DataFrame = {
     val cand = lshCandidates(sh.select(col("doc_id"), sidCol.as("sid")))
     verifyJaccard(cand, sh) // exact-Jaccard verification of LSH candidates
   }
@@ -239,7 +243,10 @@ object Dedup {
     * The raw candidate set is not DuckDB-expressible (different hash);
     * its CONTRACT is — see [[minhashLshFastContainment]]. */
   def minhashLshFast(s: SparkSession, d: String): DataFrame =
-    lshCandidates(shingles(s, d).select(
+    minhashLshFastFrom(shingles(s, d))
+
+  private def minhashLshFastFrom(sh: DataFrame): DataFrame =
+    lshCandidates(sh.select(
       col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("sid")))
 
   /** The driver-checkable form of the fast path's containment invariant
@@ -252,8 +259,13 @@ object Dedup {
     * the gate goes red; spurious fast candidates are filtered by the
     * semi-join and correctly don't fail it — they only cost verification
     * work, never recall). */
-  def minhashLshFastContainment(s: SparkSession, d: String): DataFrame =
-    minhashLsh(s, d).join(minhashLshFast(s, d), Seq("a", "b"), "left_semi")
+  def minhashLshFastContainment(s: SparkSession, d: String): DataFrame = {
+    // THREE consumers read the exploded shingles (exact-path sids, verify
+    // sets, fast-path sids) — pin once, same discipline (and measured A/B
+    // methodology) as ngramJaccard's shingle pin
+    val sh = shingles(s, d).localCheckpoint()
+    minhashLshFrom(sh).join(minhashLshFastFrom(sh), Seq("a", "b"), "left_semi")
+  }
 
   /** SimHash band count / width. Hamming <= HammingMax < SimhashBands, so by
     * pigeonhole every qualifying pair shares at least one IDENTICAL band —
@@ -386,10 +398,14 @@ object Dedup {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
               transform(col("embedding"), x => x.cast("double")).as("emb"))
-    val a = e.select(col("vec_id").as("a"), col("label"), col("emb").as("ea"))
-    val b = e.select(col("vec_id").as("b"), col("label"), col("emb").as("eb"))
+      .withColumn("nrm", Ann.norm(col("emb"))) // hoisted out of the pair stage
+    val a = e.select(col("vec_id").as("a"), col("label"), col("emb").as("ea"),
+                     col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("label"), col("emb").as("eb"),
+                     col("nrm").as("nb"))
     a.join(b, "label").filter(col("a") < col("b"))
-      .withColumn("cos", Ann.cosine(col("ea"), col("eb")))
+      .withColumn("cos", Ann.cosinePre(col("ea"), col("eb"),
+                                       col("na"), col("nb")))
       .filter(col("cos") >= 0.35)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
@@ -415,13 +431,16 @@ object Dedup {
   def embeddingCosineIvf(e: DataFrame, centroids: DataFrame,
                          nProbe: Int): DataFrame = {
     val assigned = Ann.assignCells(e, centroids, nProbe)
-    assigned.select(col("vec_id").as("a"), col("emb").as("ea"), col("cell"))
+      .withColumn("nrm", Ann.norm(col("emb"))) // hoisted out of the pair stage
+    assigned.select(col("vec_id").as("a"), col("emb").as("ea"),
+                    col("nrm").as("na"), col("cell"))
       .join(assigned.select(col("vec_id").as("b"), col("emb").as("eb"),
-                            col("cell")), "cell")
+                            col("nrm").as("nb"), col("cell")), "cell")
       .filter(col("a") < col("b"))
       // with nProbe > 1 a pair can share several probed cells
       .dropDuplicates("a", "b")
-      .withColumn("cos", Ann.cosine(col("ea"), col("eb")))
+      .withColumn("cos", Ann.cosinePre(col("ea"), col("eb"),
+                                       col("na"), col("nb")))
       .filter(col("cos") >= 0.35)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }
