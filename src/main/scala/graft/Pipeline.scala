@@ -585,10 +585,10 @@ object Pipeline {
     * node (comp, node, nulls). Component ids are the component's minimum
     * node id ([[graft.canonical.ConnectedComponents]]) — content-derived,
     * so a component slice recomputed by [[runDelta]] reproduces the ids a
-    * full run would. */
-  private def edComponentsOf(keptAll: DataFrame, edges: DataFrame): DataFrame = {
-    val cc = graft.canonical.ConnectedComponents
-      .run(edges.select("src", "dst")).localCheckpoint()
+    * full run would. `cc` is the SHARED checkpointed component table the
+    * caller also feeds NastyLinker — the CC loop runs once per edge set,
+    * not once per consuming stage. */
+  private def edComponentsOf(keptAll: DataFrame, cc: DataFrame): DataFrame = {
     val mentionRows = keptAll
       .select(col("mention_id"), col("url"), col("label"),
               Normalize.aliasKey(col("label")).as("key"))
@@ -661,14 +661,20 @@ object Pipeline {
             keptAll.select("mention_id", "label"), dict, edScoreFn(ed),
             meT, mmT)
           .localCheckpoint()
+        // ONE CC loop feeds both subjects_ed (NastyLinker's component
+        // split) and ed_components (the recorded delta state) — the two
+        // stages used to each pay the full iterative loop over the same
+        // edge set (~1/3 of the ED wall at bench scale)
+        lazy val edCc = graft.canonical.ConnectedComponents
+          .run(edges.select("src", "dst")).localCheckpoint()
         val subjectsEd = runner.run("subjects_ed", report = edRep) {
           val assign = AlignmentGraph.clusterEdges(
             keptAll.select("mention_id", "label"), edges,
-            ed.pathThreshold, edRep)
+            ed.pathThreshold, edRep, ccIn = Some(edCc))
           edSubjectsOf(keptAll, assign)
         }
         runner.runKeyed("ed_components", Seq("comp")) {
-          edComponentsOf(keptAll, edges)
+          edComponentsOf(keptAll, edCc)
         }
         runner.run("ed_key_counts") {
           AlignmentGraph.graphMentions(
@@ -1022,13 +1028,15 @@ object Pipeline {
         sliceAll.select("mention_id", "label"), dict, edScoreFn(ed),
         ed.meThreshold, ed.mmThreshold, hotKeysIn = Some(hotNew))
       .localCheckpoint()
+    lazy val sliceCc = graft.canonical.ConnectedComponents
+      .run(sliceEdges.select("src", "dst")).localCheckpoint()
     runner.run("subjects_ed_fresh", report = edRep) {
       val assign = AlignmentGraph.clusterEdges(
         sliceAll.select("mention_id", "label"), sliceEdges,
-        ed.pathThreshold, edRep)
+        ed.pathThreshold, edRep, ccIn = Some(sliceCc))
       edSubjectsOf(sliceAll, assign)
     }
-    runner.run("ed_components_fresh") { edComponentsOf(sliceAll, sliceEdges) }
+    runner.run("ed_components_fresh") { edComponentsOf(sliceAll, sliceCc) }
 
     // — carries —
     val dropMentionIds = hintSmall(

@@ -133,11 +133,13 @@ object AlignmentGraph {
     * their connected components) builds them once. */
   def clusterEdges(mentions: DataFrame, edges: DataFrame,
                    pathThreshold: Double = 0.75,
-                   report: graft.runtime.LoopReport = null): DataFrame = {
+                   report: graft.runtime.LoopReport = null,
+                   ccIn: Option[DataFrame] = None): DataFrame = {
     // clustered is consumed TWICE below (the left_anti probe and the union
     // output) — without its own checkpoint each action re-executes
     // NastyLinker's cluster-assembly join tree once per consumer
-    val clustered = NastyLinker.cluster(edges, pathThreshold, report = report)
+    val clustered = NastyLinker.cluster(edges, pathThreshold, report = report,
+                                        ccIn = ccIn)
       .localCheckpoint()
     // mentions with NO candidate edge at all never reach the graph: they
     // are singleton NIL clusters (the reference only clusters graph nodes;

@@ -44,11 +44,16 @@ object NastyLinker {
     *    (content-derived, partitioning-invariant). */
   def cluster(edges: DataFrame, pathThreshold: Double = 0.75,
               maxIter: Int = 30,
-              report: graft.runtime.LoopReport = null): DataFrame = {
+              report: graft.runtime.LoopReport = null,
+              ccIn: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst"),
                          least(col("weight"), lit(1.0)).as("weight"))
 
-    val cc = ConnectedComponents.run(e.select("src", "dst"))
+    // `ccIn`: the caller already ran CC over these edges (the ED pipeline
+    // records the component table as delta state) — reuse instead of paying
+    // the iterative loop twice. CC ids are content-derived (min node id),
+    // so a supplied table is identical to a recomputed one by construction.
+    val cc = ccIn.getOrElse(ConnectedComponents.run(e.select("src", "dst")))
     val entComp = cc.filter(col("node").startsWith("e:"))
       .groupBy("component")
       .agg(countDistinct("node").as("n_ents"), min("node").as("only_ent"))
