@@ -222,26 +222,26 @@ object Pipeline {
                            "tag_stats", "valid_tags", "type_cand_counts",
                            "rel_cand_counts", "prov_pairs", "triples_prov")
     val edStateStages = Seq("subjects_ed", "ed_components", "ed_key_counts")
-    // ED deltas are component-bounded when prevDir recorded the ED state
-    // (an ED-mode run() or runDelta()); a prevDir WITHOUT it (e.g. a
-    // Components-mode run — the prefix is canon-free) bootstraps by
-    // recomputing the corpus stages once, which records the state for the
-    // next delta in the chain.
-    val edStateReady = canon match {
+    val buStateStages = Seq("subjects_bu", "bu_components", "bu_key_counts")
+    // ED/BU deltas are component-bounded when prevDir recorded the mode's
+    // graph state (a same-mode run() or runDelta()); a prevDir WITHOUT it
+    // (e.g. a Components-mode run — the prefix is canon-free) bootstraps
+    // by recomputing the corpus stages once, which records the state for
+    // the next delta in the chain.
+    val graphStateReady = canon match {
       case _: Canonicalization.ScoredEd =>
         edStateStages.forall(StageRunner.completed(prevDir, _))
+      case _: Canonicalization.BottomUp =>
+        buStateStages.forall(StageRunner.completed(prevDir, _))
       case _ => false
     }
     val needed = prefixStages ++
       (canon match {
         case Canonicalization.Components => sharedMining :+ "subjects"
         case _: Canonicalization.ScoredEd =>
-          if (edStateReady) sharedMining ++ edStateStages else Nil
-        // BottomUp deltas carry the per-page prefix and recompute the
-        // corpus stages (the fold is order-coupled across a component and
-        // no BU state is recorded; a component-bounded variant would
-        // mirror deltaEdStages)
-        case _: Canonicalization.BottomUp => Nil
+          if (graphStateReady) sharedMining ++ edStateStages else Nil
+        case _: Canonicalization.BottomUp =>
+          if (graphStateReady) sharedMining ++ buStateStages else Nil
       })
     for (stage <- needed)
       require(StageRunner.completed(prevDir, stage),
@@ -364,13 +364,20 @@ object Pipeline {
         // (see deltaEdStages) — the carried per-page prefix plus a
         // component-sliced re-disambiguation. Bootstrap (no recorded ED
         // state in prevDir): recompute the corpus stages once.
-        if (edStateReady)
+        if (graphStateReady)
           deltaEdStages(spark, runner, prevDir, dropUrls, linkedAll,
                         linkedFresh, prevLinked, dict, seeds, ed)
         else
           corpusStages(spark, runner, linkedAll, dict, seeds, canon)
-      case _: Canonicalization.BottomUp =>
-        corpusStages(spark, runner, linkedAll, dict, seeds, canon)
+      case bu: Canonicalization.BottomUp =>
+        // BU-mode delta: the fold is independent per MM component (see
+        // deltaBuStages), so the same component-bounded discipline
+        // applies over MM-only components. Bootstrap as above.
+        if (graphStateReady)
+          deltaBuStages(spark, runner, prevDir, dropUrls, linkedAll,
+                        linkedFresh, prevLinked, dict, seeds, bu)
+        else
+          corpusStages(spark, runner, linkedAll, dict, seeds, canon)
     }
   }
 
@@ -606,6 +613,47 @@ object Pipeline {
     mentionRows.unionByName(entityRows)
   }
 
+  /** The BottomUp fold's ME scorer as the whole-DataFrame seam
+    * (≙ [[edScoreFn]]). */
+  private def buScoreFn(bu: Canonicalization.BottomUp)
+      : DataFrame => DataFrame =
+    cand => cand.withColumn("score", bu.meScore)
+
+  /** The alignment graph's ME edges in [[graft.canonical.BottomUpCluster]]
+    * shape (bare mention/entity ids). */
+  private def buMeEdges(edges: DataFrame): DataFrame =
+    edges.filter(col("dst").startsWith("e:"))
+      .select(expr("substring(src, 3)").as("mention_id"),
+              expr("substring(dst, 3)").as("ent"),
+              col("weight").as("score"))
+
+  /** The alignment graph's MM edges above the fold threshold, bare ids —
+    * the edge set whose connected components bound the fold
+    * ([[graft.canonical.BottomUpCluster.cluster]] `ccIn` contract). */
+  private def buMmEdges(edges: DataFrame, mmThreshold: Double): DataFrame =
+    edges.filter(col("dst").startsWith("m:"))
+      .select(expr("substring(src, 3)").as("m1"),
+              expr("substring(dst, 3)").as("m2"),
+              col("weight").as("score"))
+      .filter(col("score") > mmThreshold)
+
+  /** [[edComponentsOf]] for BottomUp mode: MM-edge components only (bare
+    * mention-id nodes, no entity rows — ME edges never merge fold
+    * clusters across components, so entities are not component members).
+    * One row per kept mention; isolated mentions are their own
+    * component. Component ids are the component's minimum mention id —
+    * content-derived, so a delta's component-slice recompute reproduces
+    * the ids a full run would. */
+  private def buComponentsOf(keptAll: DataFrame, cc: DataFrame): DataFrame =
+    keptAll
+      .select(col("mention_id"), col("url"), col("label"),
+              Normalize.aliasKey(col("label")).as("key"))
+      .withColumn("node", col("mention_id"))
+      .join(cc, Seq("node"), "left_outer")
+      .select(coalesce(col("component"), col("node")).as("comp"),
+              col("node"), col("mention_id"), col("url"), col("key"),
+              col("label"))
+
   /** The maintained mining aggregates every emit stage reads. */
   private case class Mining(typeRules: DataFrame, relationRules: DataFrame,
                             labelCounts: DataFrame, typeCandCounts: DataFrame,
@@ -686,29 +734,41 @@ object Pipeline {
         // 4c. bottom-up union-find over the SAME scored alignment graph
         // as ScoredEd, but clustered by the reference's ordered edge fold
         // (per-MM-component, see BottomUpCluster) — argmax entity, no
-        // path-threshold demotion.
+        // path-threshold demotion. Like ED, the run records the BU DELTA
+        // STATE: `bu_components` (the MM-edge connected components — the
+        // fold's independence boundary; a mention's assignment depends on
+        // nothing outside its MM component, since the global entity
+        // collapse only renames cluster ids, which the subject table never
+        // consumes) and `bu_key_counts` (the GLOBAL hot-key cap).
         lazy val keptAll = fresh(linked)
           .unionByName(fresh(keptUnlinked)
             .withColumn("ent", lit(null).cast("string")))
           .localCheckpoint()
-        runner.runKeyed("subjects_bu", Seq("url")) {
-          val edges = AlignmentGraph.buildScored(
-              keptAll.select("mention_id", "label"), dict,
-              cand => cand.withColumn("score", bu.meScore),
-              bu.meThreshold, bu.mmThreshold)
-            .localCheckpoint()
-          val me = edges.filter(col("dst").startsWith("e:"))
-            .select(expr("substring(src, 3)").as("mention_id"),
-                    expr("substring(dst, 3)").as("ent"),
-                    col("weight").as("score"))
-          val mm = edges.filter(col("dst").startsWith("m:"))
-            .select(expr("substring(src, 3)").as("m1"),
-                    expr("substring(dst, 3)").as("m2"),
-                    col("weight").as("score"))
+        lazy val edges = AlignmentGraph.buildScored(
+            keptAll.select("mention_id", "label"), dict, buScoreFn(bu),
+            bu.meThreshold, bu.mmThreshold)
+          .localCheckpoint()
+        // ONE CC loop feeds both the fold (BottomUpCluster's component
+        // partition) and bu_components (the recorded delta state)
+        lazy val buCc = graft.canonical.ConnectedComponents
+          .run(buMmEdges(edges, bu.mmThreshold)
+                 .select(col("m1").as("src"), col("m2").as("dst")))
+          .localCheckpoint()
+        val subjectsBu = runner.run("subjects_bu") {
           val assign = graft.canonical.BottomUpCluster.cluster(
-            me, mm, bu.mmThreshold, bu.meThreshold)
+            buMeEdges(edges), buMmEdges(edges, bu.mmThreshold),
+            bu.mmThreshold, bu.meThreshold, ccIn = Some(buCc))
           buSubjectsOf(keptAll, assign)
         }
+        runner.runKeyed("bu_components", Seq("comp")) {
+          buComponentsOf(keptAll, buCc)
+        }
+        runner.run("bu_key_counts") {
+          AlignmentGraph.graphMentions(
+              subjectsBu.select("mention_id", "label"))
+            .groupBy("key").agg(count(lit(1)).as("cnt"))
+        }
+        subjectsBu
     }
 
     // 6a. mining aggregates (url-keyed tables + count views) — the
@@ -890,53 +950,130 @@ object Pipeline {
                     prevSubjectsA, seeds, flips)
   }
 
-  /** ScoredEd-mode DELTA: component-bounded recompute (VERDICT r4 #3 —
-    * this path used to recompute every corpus stage). NastyLinker's
-    * decisions are COMPONENT-LOCAL (CC → per-component split), so it
-    * suffices to re-run ED on the alignment-graph components the churn can
-    * reach and carry every other mention's assignment:
-    *
-    *  - graph-membership deltas: dropped-url mentions and F9 leavers exit;
-    *    fresh kept mentions and F9 entrants (labels that stopped being
-    *    frequent — on urls the crawl never touched) enter;
-    *  - the kept-mention KEY COUNTS are a maintained view (`ed_key_counts`)
-    *    because the MM hot-key cap is GLOBAL: a slice recompute must cap
-    *    by the new global counts, and a key whose hotness FLIPS changes
-    *    mm edges on every component holding it;
-    *  - affected components = components of exiting mentions ∪ components
-    *    holding a flipped key ∪ components ADJACENT to an entering
-    *    mention — via its key (old same-key mentions) and via its
-    *    dictionary candidates (old entity nodes); adjacency is direct
-    *    because only new mention nodes can bridge two old components
-    *    (an old mention belongs to exactly one), so one join closes it.
-    *    Both adjacency probes are deliberately SUPERSETS (no score/hotness
-    *    test) — recomputing an extra component is sound, missing one is
-    *    not;
-    *  - the slice (surviving members of affected components + entrants +
-    *    fresh) is closed under the new graph's edges by the same argument,
-    *    so it is a union of complete new-graph components: NastyLinker on
-    *    the slice ≡ the full run restricted to it, and the slice's CC ids
-    *    (min node id) reproduce the full run's;
-    *  - carries: `subjects_ed` drops the affected components' mention ids
-    *    (a MENTION-keyed layer — affected mentions live on untouched
-    *    urls); `ed_components` drops whole components (comp-keyed layer);
-    *    `ed_key_counts` applies the count identity. Downstream mining
-    *    runs [[deltaMiningCore]] over the urls holding any affected
-    *    mention (∪ the flip widenings), exactly like Components mode. */
+  /** What distinguishes one graph-state delta mode from another: the
+    * recorded stage names, whether entity nodes join components (ED's CC
+    * runs over ME+MM edges, so an entering mention can reach an old
+    * component through a shared DICTIONARY CANDIDATE; BU components are
+    * MM-only), and the component-slice recompute itself. Everything else
+    * — membership deltas, key-count maintenance, hotness flips, affected
+    * components, slice closure, carries, mining maintenance — is shared
+    * verbatim by [[deltaEdStages]] and [[deltaBuStages]]. */
+  private case class GraphDeltaMode(
+      subjectsStage: String, compsStage: String, keyCountsStage: String,
+      entityAdjacency: Boolean,
+      recompute: (DataFrame, DataFrame, LoopReport)
+        => (DataFrame, DataFrame))
+
   private def deltaEdStages(spark: SparkSession, runner: StageRunner,
                             prevDir: String, dropUrls: DataFrame,
                             linkedAll: DataFrame, linkedFresh: DataFrame,
                             prevLinked: DataFrame, dict: DataFrame,
                             seeds: Seeds,
                             ed: Canonicalization.ScoredEd): DataFrame = {
+    val mode = GraphDeltaMode(
+      "subjects_ed", "ed_components", "ed_key_counts",
+      entityAdjacency = true,
+      recompute = (sliceAll, hotNew, rep) => {
+        val sliceEdges = AlignmentGraph.buildScored(
+            sliceAll.select("mention_id", "label"), dict, edScoreFn(ed),
+            ed.meThreshold, ed.mmThreshold, hotKeysIn = Some(hotNew))
+          .localCheckpoint()
+        val sliceCc = graft.canonical.ConnectedComponents
+          .run(sliceEdges.select("src", "dst")).localCheckpoint()
+        val assign = AlignmentGraph.clusterEdges(
+          sliceAll.select("mention_id", "label"), sliceEdges,
+          ed.pathThreshold, rep, ccIn = Some(sliceCc))
+        (edSubjectsOf(sliceAll, assign), edComponentsOf(sliceAll, sliceCc))
+      })
+    deltaGraphStages(spark, runner, prevDir, dropUrls, linkedAll,
+                     linkedFresh, prevLinked, dict, seeds, mode)
+  }
+
+  /** BottomUp-mode DELTA: the same component-bounded discipline as
+    * [[deltaEdStages]], over MM-only components — the fold for a
+    * component depends on nothing outside it (ME edges are per-mention,
+    * the entity collapse only renames cluster ids the subject table
+    * never reads), so re-folding the affected components ≡ the full
+    * fold restricted to them. */
+  private def deltaBuStages(spark: SparkSession, runner: StageRunner,
+                            prevDir: String, dropUrls: DataFrame,
+                            linkedAll: DataFrame, linkedFresh: DataFrame,
+                            prevLinked: DataFrame, dict: DataFrame,
+                            seeds: Seeds,
+                            bu: Canonicalization.BottomUp): DataFrame = {
+    val mode = GraphDeltaMode(
+      "subjects_bu", "bu_components", "bu_key_counts",
+      entityAdjacency = false,
+      recompute = (sliceAll, hotNew, _) => {
+        val sliceEdges = AlignmentGraph.buildScored(
+            sliceAll.select("mention_id", "label"), dict, buScoreFn(bu),
+            bu.meThreshold, bu.mmThreshold, hotKeysIn = Some(hotNew))
+          .localCheckpoint()
+        val mm = buMmEdges(sliceEdges, bu.mmThreshold)
+        val mmCc = graft.canonical.ConnectedComponents
+          .run(mm.select(col("m1").as("src"), col("m2").as("dst")))
+          .localCheckpoint()
+        val assign = graft.canonical.BottomUpCluster.cluster(
+          buMeEdges(sliceEdges), mm, bu.mmThreshold, bu.meThreshold,
+          ccIn = Some(mmCc))
+        (buSubjectsOf(sliceAll, assign), buComponentsOf(sliceAll, mmCc))
+      })
+    deltaGraphStages(spark, runner, prevDir, dropUrls, linkedAll,
+                     linkedFresh, prevLinked, dict, seeds, mode)
+  }
+
+  /** Graph-canonicalization DELTA, component-bounded (VERDICT r4 #3 —
+    * this path used to recompute every corpus stage). Both graph modes'
+    * decisions are COMPONENT-LOCAL (NastyLinker: CC → per-component
+    * split; the BU fold: independent per MM component), so it suffices to
+    * re-run the mode on the components the churn can reach and carry
+    * every other mention's assignment:
+    *
+    *  - graph-membership deltas: dropped-url mentions and F9 leavers exit;
+    *    fresh kept mentions and F9 entrants (labels that stopped being
+    *    frequent — on urls the crawl never touched) enter;
+    *  - the kept-mention KEY COUNTS are a maintained view (the mode's
+    *    key-counts stage) because the MM hot-key cap is GLOBAL: a slice
+    *    recompute must cap by the new global counts, and a key whose
+    *    hotness FLIPS changes mm edges on every component holding it;
+    *  - affected components = components of exiting mentions ∪ components
+    *    holding a flipped key ∪ components ADJACENT to an entering
+    *    mention — via its key (old same-key mentions; stably-hot keys
+    *    excluded, see inline) and, in ED mode, via its dictionary
+    *    candidates (old entity nodes); adjacency is direct because only
+    *    new mention nodes can bridge two old components (an old mention
+    *    belongs to exactly one), so one join closes it. Beyond the
+    *    stably-hot exclusion (exact — the cap suppressed those mm edges
+    *    in BOTH graphs) the probes are deliberately SUPERSETS (no score
+    *    test) — recomputing an extra component is sound, missing one is
+    *    not;
+    *  - the slice (surviving members of affected components + entrants +
+    *    fresh) is closed under the new graph's edges by the same argument,
+    *    so it is a union of complete new-graph components: the mode's
+    *    clusterer on the slice ≡ the full run restricted to it, and the
+    *    slice's CC ids (min node id) reproduce the full run's;
+    *  - carries: the subjects stage drops the affected components'
+    *    mention ids (a MENTION-keyed layer — affected mentions live on
+    *    untouched urls); the components stage drops whole components
+    *    (comp-keyed layer); the key-counts stage applies the count
+    *    identity. Downstream mining runs [[deltaMiningCore]] over the
+    *    urls holding any affected mention (∪ the flip widenings), exactly
+    *    like Components mode. */
+  private def deltaGraphStages(spark: SparkSession, runner: StageRunner,
+                               prevDir: String, dropUrls: DataFrame,
+                               linkedAll: DataFrame, linkedFresh: DataFrame,
+                               prevLinked: DataFrame, dict: DataFrame,
+                               seeds: Seeds,
+                               mode: GraphDeltaMode): DataFrame = {
     val flips = deltaFlipStages(spark, runner, prevDir, dropUrls, linkedAll,
-                                linkedFresh, prevLinked, seeds, "subjects_ed")
+                                linkedFresh, prevLinked, seeds,
+                                mode.subjectsStage)
     def prev(stage: String): DataFrame =
       spark.read.parquet(s"$prevDir/$stage")
-    val prevComps = StageRunner.read(spark, s"$prevDir/ed_components")
+    val prevComps = StageRunner.read(spark, s"$prevDir/${mode.compsStage}")
       .localCheckpoint()
     val prevCompMentions = prevComps.filter(col("mention_id").isNotNull)
-    val prevKeyCounts = prev("ed_key_counts")
+    val prevKeyCounts = prev(mode.keyCountsStage)
 
     // — graph-membership deltas —
     val leaverLabels = flips.flippedLabels
@@ -965,7 +1102,7 @@ object Pipeline {
       .localCheckpoint()
 
     // — key-count maintenance + hotness flips (the GLOBAL mm cap) —
-    val keyCounts = runner.run("ed_key_counts") {
+    val keyCounts = runner.run(mode.keyCountsStage) {
       val minus = droppedRows.select("key")
         .unionByName(leaverRows.select("key"))
         .filter(length(col("key")) > 0)
@@ -974,35 +1111,56 @@ object Pipeline {
         .groupBy("key").agg(count(lit(1)).as("cnt"))
       maintainCounts(prevKeyCounts, minus, plus, Seq("key"))
     }
+    val maxBucket = AlignmentGraph.maxKeyBucket(spark)
     val hotNew = keyCounts
-      .filter(col("cnt") > AlignmentGraph.MaxKeyBucket).select("key")
+      .filter(col("cnt") > maxBucket).select("key")
       .localCheckpoint()
     val hotPrev = prevKeyCounts
-      .filter(col("cnt") > AlignmentGraph.MaxKeyBucket).select("key")
+      .filter(col("cnt") > maxBucket).select("key")
+      .localCheckpoint()
     val flippedKeys = fresh(hotNew).unionByName(fresh(hotPrev))
       .groupBy("key").agg(count(lit(1)).as("c"))
       .filter(col("c") === 1).select("key")
       .localCheckpoint()
 
     // — affected components: exits ∪ flipped keys ∪ adjacency of entrants —
+    // STABLY-HOT keys (hot in prev AND new counts) cannot carry MM
+    // adjacency: the cap suppressed their mm edges in both graphs, so an
+    // entering mention with such a key reaches no old component through
+    // it. Excluding them bounds viaKey by the cap — without this, one
+    // entering boilerplate-key mention ("home" at 10^8 occurrences) would
+    // drag the key's entire singleton population into every delta slice.
+    // Hotness FLIPS (either direction) change the key's mm edges
+    // everywhere and stay fully covered by viaFlippedKeys.
+    val stablyHot = hotNew.join(hotPrev, Seq("key"), "left_semi")
     val enteringKeys = AlignmentGraph.graphMentions(enteringMentions)
       .select("key").distinct().localCheckpoint()
+    val enteringMmKeys = enteringKeys
+      .join(stablyHot, Seq("key"), "left_anti")
+      .localCheckpoint()
     val viaKey = prevCompMentions
-      .join(hintSmall(enteringKeys), Seq("key"), "left_semi").select("comp")
-    val enteringEntNodes = enteringKeys
-      .join(broadcast(dict.select("key", "ent")), Seq("key"))
-      .select(concat(lit("e:"), col("ent")).as("node")).distinct()
-    val viaEnt = prevComps.filter(col("mention_id").isNull)
-      .join(hintSmall(enteringEntNodes.localCheckpoint()),
-            Seq("node"), "left_semi")
-      .select("comp")
+      .join(hintSmall(enteringMmKeys), Seq("key"), "left_semi").select("comp")
+    // ED only: an entering mention also reaches old components through its
+    // DICTIONARY CANDIDATES (ME edges are CC edges there; BU components
+    // are MM-only, where ME edges never bridge). The stably-hot exclusion
+    // does NOT apply here — the cap suppresses mm edges only, so a
+    // hot-key entrant's ME adjacency is real in both graphs.
+    val viaEnt =
+      if (!mode.entityAdjacency) None
+      else {
+        val enteringEntNodes = enteringKeys
+          .join(broadcast(dict.select("key", "ent")), Seq("key"))
+          .select(concat(lit("e:"), col("ent")).as("node")).distinct()
+        Some(prevComps.filter(col("mention_id").isNull)
+          .join(hintSmall(enteringEntNodes.localCheckpoint()),
+                Seq("node"), "left_semi")
+          .select("comp"))
+      }
     val viaFlippedKeys = prevCompMentions
       .join(hintSmall(flippedKeys), Seq("key"), "left_semi").select("comp")
     val affectedComps = hintSmall(
-      droppedRows.select("comp")
-        .unionByName(leaverRows.select("comp"))
-        .unionByName(viaKey).unionByName(viaEnt)
-        .unionByName(viaFlippedKeys)
+      (Seq(leaverRows.select("comp"), viaKey) ++ viaEnt :+ viaFlippedKeys)
+        .foldLeft(droppedRows.select("comp"))(_ unionByName _)
         .distinct().localCheckpoint())
 
     // — the slice: surviving members of affected components + entrants +
@@ -1022,39 +1180,34 @@ object Pipeline {
       .unionByName(freshKept)
       .localCheckpoint()
 
-    // — component-slice ED recompute, with the GLOBAL hot-key cap —
-    val edRep = new LoopReport
-    lazy val sliceEdges = AlignmentGraph.buildScored(
-        sliceAll.select("mention_id", "label"), dict, edScoreFn(ed),
-        ed.meThreshold, ed.mmThreshold, hotKeysIn = Some(hotNew))
-      .localCheckpoint()
-    lazy val sliceCc = graft.canonical.ConnectedComponents
-      .run(sliceEdges.select("src", "dst")).localCheckpoint()
-    runner.run("subjects_ed_fresh", report = edRep) {
-      val assign = AlignmentGraph.clusterEdges(
-        sliceAll.select("mention_id", "label"), sliceEdges,
-        ed.pathThreshold, edRep, ccIn = Some(sliceCc))
-      edSubjectsOf(sliceAll, assign)
+    // — component-slice recompute, with the GLOBAL hot-key cap. The two
+    //   stages share one lazy recompute: a fully-resumed outDir never
+    //   builds the slice graph, a partial resume builds it once. —
+    val rep = new LoopReport
+    lazy val recomputed = mode.recompute(sliceAll, hotNew, rep)
+    runner.run(s"${mode.subjectsStage}_fresh", report = rep) {
+      recomputed._1
     }
-    runner.run("ed_components_fresh") { edComponentsOf(sliceAll, sliceCc) }
+    runner.run(s"${mode.compsStage}_fresh") { recomputed._2 }
 
     // — carries —
     val dropMentionIds = hintSmall(
       affectedPrevMentions.select("mention_id").localCheckpoint())
-    val subjectsEdNew = runner.runCarried("subjects_ed", prevDir,
-      Seq("mention_id"), dropMentionIds, runner.pathOf("subjects_ed_fresh"))
-    runner.runCarried("ed_components", prevDir, Seq("comp"), affectedComps,
-                      runner.pathOf("ed_components_fresh"))
+    val subjectsNew = runner.runCarried(mode.subjectsStage, prevDir,
+      Seq("mention_id"), dropMentionIds,
+      runner.pathOf(s"${mode.subjectsStage}_fresh"))
+    runner.runCarried(mode.compsStage, prevDir, Seq("comp"), affectedComps,
+                      runner.pathOf(s"${mode.compsStage}_fresh"))
 
     // — mining maintenance over the urls holding any affected mention —
-    val edUrls = affectedPrevMentions.select("url")
-    val widenings = flips.f9FlipUrls.toSeq ++ flips.tagFlipUrls :+ edUrls :+
-      freshKept.select("url")
+    val graphUrls = affectedPrevMentions.select("url")
+    val widenings = flips.f9FlipUrls.toSeq ++ flips.tagFlipUrls :+
+      graphUrls :+ freshKept.select("url")
     val affectedUrls = hintSmall(
       widenings.foldLeft(dropUrls.select("url"))(_ unionByName _)
         .distinct().localCheckpoint())
-    val subjectsA = runner.run("subjects_ed_affected") {
-      subjectsEdNew.join(affectedUrls, Seq("url"), "left_semi")
+    val subjectsA = runner.run(s"${mode.subjectsStage}_affected") {
+      subjectsNew.join(affectedUrls, Seq("url"), "left_semi")
     }
     val prevSubjectsA =
       flips.prevSubjects.join(affectedUrls, Seq("url"), "left_semi")

@@ -30,6 +30,15 @@ object AlignmentGraph {
   /** Hot-key cut for MM candidate generation (≙ Dedup.MaxBucket). */
   val MaxKeyBucket = 50
 
+  /** [[MaxKeyBucket]] with a conf override (`graft.ed.maxKeyBucket`) so
+    * tests can plant hot keys at fixture scale. The cut must stay CONSTANT
+    * across a delta chain: the maintained key-count views compare hotness
+    * across runs, and a mid-chain change would misclassify which keys
+    * flipped (same contract as the seed tables — change it on a fresh
+    * outDir only). */
+  def maxKeyBucket(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("graft.ed.maxKeyBucket", MaxKeyBucket.toString).toInt
+
   /** mentions(mention_id, label) × dict(key, ent, freq) → weighted edges.
     * `meScore`: any Column over the joined (mention × candidate) row. */
   def build(mentions: DataFrame, dict: DataFrame,
@@ -74,7 +83,8 @@ object AlignmentGraph {
     //   full run's. —
     val hotKeys = hotKeysIn.getOrElse(
       keyed.groupBy("key").agg(count(lit(1)).as("bsize"))
-        .filter(col("bsize") > MaxKeyBucket).select("key"))
+        .filter(col("bsize") > maxKeyBucket(mentions.sparkSession))
+        .select("key"))
     val small = keyed.join(hotKeys, Seq("key"), "left_anti")
     val mm = small.select(col("mention_id").as("a"), col("key"))
       .join(small.select(col("mention_id").as("b"), col("key")), "key")

@@ -75,9 +75,15 @@ object BottomUpCluster {
     * (mention_id, ent nullable, cluster_id). cluster_id = min mention id of
     * the final cluster (clusters sharing an entity are collapsed globally,
     * `bottomup_clustering.py:72-83`). The mention domain is every mention
-    * seen in either candidate set (:56-61). */
+    * seen in either candidate set (:56-61).
+    *
+    * `ccIn`: precomputed connected components (node, component) of the
+    * THRESHOLDED mm edge set — a caller that also records the MM components
+    * (the BU delta state, [[graft.Pipeline]]) runs the CC loop once and
+    * shares it, the same discipline as `AlignmentGraph.clusterEdges`. */
   def cluster(meCandidates: DataFrame, mmCandidates: DataFrame,
-              mmThreshold: Double, meThreshold: Double): DataFrame = {
+              mmThreshold: Double, meThreshold: Double,
+              ccIn: Option[DataFrame] = None): DataFrame = {
     val spark = meCandidates.sparkSession
     import spark.implicits._
 
@@ -99,8 +105,8 @@ object BottomUpCluster {
     // MM components partition the fold. CC drops isolated nodes (its
     // symmetrize strips self-loops), so mentions with no surviving MM edge
     // fall back to themselves as a singleton component via the left join.
-    val cc = ConnectedComponents.run(
-      mm.select(col("m1").as("src"), col("m2").as("dst")))
+    val cc = ccIn.getOrElse(ConnectedComponents.run(
+      mm.select(col("m1").as("src"), col("m2").as("dst"))))
     val comp = domain
       .join(cc, domain("m") === cc("node"), "left")
       .select(col("m").as("node"),

@@ -2,11 +2,12 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 /** args: pagesPath [mode] [churnPct] — mode "cc" (default), "ed"
-  * (ScoredEd), "delta" (full run, then an incremental run over a
-  * re-crawl with ~churnPct% of pages modified, default 1 — measures the
-  * delta-refresh bill vs the full bill; 10 evidences the 1×-churn
-  * maintenance cost at high churn), or "eddelta" (the same full+delta
-  * pair in ScoredEd mode — exercises the component-bounded ED delta). */
+  * (ScoredEd), "bu" (BottomUp), "delta" (full run, then an incremental
+  * run over a re-crawl with ~churnPct% of pages modified, default 1 —
+  * measures the delta-refresh bill vs the full bill; 10 evidences the
+  * 1×-churn maintenance cost at high churn), "eddelta" / "budelta" (the
+  * same full+delta pair in ScoredEd / BottomUp mode — exercises the
+  * component-bounded graph deltas). */
 object PipelineSoak {
   def main(args: Array[String]): Unit = {
     val pagesPath = args(0)
@@ -29,6 +30,8 @@ object PipelineSoak {
     val canon =
       if (mode == "ed" || mode == "eddelta")
         graft.Pipeline.Canonicalization.ScoredEd()
+      else if (mode == "bu" || mode == "budelta")
+        graft.Pipeline.Canonicalization.BottomUp()
       else graft.Pipeline.Canonicalization.Components
     val t0 = System.nanoTime()
     val triples = graft.Pipeline.run(spark, pages, seeds, out, canon = canon)
@@ -36,7 +39,7 @@ object PipelineSoak {
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"SOAK mode=$mode pages=$n triples=$nt sec=$sec " +
             s"pages_per_s=${n/sec} triples_per_s=${nt/sec}")
-    if (mode == "delta" || mode == "eddelta") {
+    if (mode == "delta" || mode == "eddelta" || mode == "budelta") {
       // re-crawl: ~churnPct% of pages get a new capture (bumped warc_ts,
       // body appended — changes text, not the mention set, so triples and
       // the correctness baseline are unchanged)

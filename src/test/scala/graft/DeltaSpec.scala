@@ -185,11 +185,12 @@ class DeltaSpec extends SparkSuite {
     }
   }
 
-  test("delta composes with bottom-up canonicalization (corpus-stage recompute)") {
-    // BottomUp deltas carry the per-page prefix and recompute the corpus
-    // stages (the fold is order-coupled across components; no BU state is
-    // recorded) — the delta must equal the full bottom-up output, which at
-    // default thresholds equals the expected triples (PipelineSpec)
+  test("delta composes with bottom-up canonicalization (bootstrap path)") {
+    // a CC-mode prevDir lacks the BU graph state, so a BottomUp delta
+    // BOOTSTRAPS: per-page prefix carried, corpus stages recomputed — and
+    // the bootstrap records the BU state for the next delta in the chain.
+    // The delta must equal the full bottom-up output, which at default
+    // thresholds equals the expected triples (PipelineSpec)
     val v2 = world.pages
     val (v1, _, _) = previousCrawl(v2)
     val prevDir = SparkSuite.tempDir("graft-delta-bu-prev")
@@ -199,6 +200,155 @@ class DeltaSpec extends SparkSuite {
       outDir, prevDir, canon = Pipeline.Canonicalization.BottomUp())
     val pr = TripleDiff.diff(triples, world.expectedTriples.toDS().toDF())
     assert(pr.precision == 1.0 && pr.recall == 1.0, s"BU-delta drift: $pr")
+    // the bootstrap recorded the BU graph state — the next delta is
+    // component-bounded
+    Seq("subjects_bu", "bu_components", "bu_key_counts").foreach { s =>
+      assert(graft.runtime.StageRunner.completed(outDir, s),
+             s"bootstrap did not record '$s'")
+    }
+  }
+
+  test("BU-mode delta is COMPONENT-bounded and == a fresh full BU run") {
+    val bu = Pipeline.Canonicalization.BottomUp()
+    val v2 = world.pages
+    val (v1, _, _) = previousCrawl(v2)
+    val prevDir = SparkSuite.tempDir("graft-buc-prev")
+    val outDir = SparkSuite.tempDir("graft-buc-out")
+    val freshDir = SparkSuite.tempDir("graft-buc-fresh")
+    Pipeline.run(spark, v1.toDS().toDF(), seeds, prevDir, canon = bu)
+    val delta = Pipeline.runDelta(spark, v2.toDS().toDF(), seeds,
+                                  outDir, prevDir, canon = bu)
+    val full = Pipeline.run(spark, v2.toDS().toDF(), seeds, freshDir,
+                            canon = bu)
+    val pr = TripleDiff.diff(delta, full)
+    if (pr.precision < 1.0 || pr.recall < 1.0) {
+      delta.join(full, Seq("subj", "pred", "obj", "is_literal"),
+                 "left_anti").show(30, truncate = false)
+      full.join(delta, Seq("subj", "pred", "obj", "is_literal"),
+                "left_anti").show(30, truncate = false)
+    }
+    assert(pr.precision == 1.0 && pr.recall == 1.0, s"BU comp-delta: $pr")
+    // the re-folded slice crossed urls (shared keys pull whole MM
+    // components in — the case a url-sliced recompute cannot handle), yet
+    // stays FAR from the whole corpus
+    import org.apache.spark.sql.functions.col
+    val sliceUrls = spark.read.parquet(s"$outDir/subjects_bu_fresh")
+      .select("url").distinct()
+    val touched = spark.read.parquet(s"$outDir/pages_text_fresh")
+      .select("url").distinct()
+    assert(sliceUrls.join(touched, Seq("url"), "left_anti").count() > 0,
+           "no untouched url in the BU slice — the cross-url case is dead")
+    val corpusUrls = full.sparkSession.read
+      .parquet(s"$freshDir/pages_text").select("url").distinct().count()
+    assert(sliceUrls.count() < corpusUrls,
+           "slice == corpus: the BU delta is not component-bounded")
+    assert(graft.runtime.StageRunner
+      .read(spark, s"$outDir/bu_components").count() > 0)
+  }
+
+  test("a STABLY-hot key does not drag its population into the delta slice") {
+    // maxKeyBucket=2 (constant across the whole chain): two untouched
+    // pages hold 6 mentions of the known alias "hot widget" (hot in both
+    // crawls — the mm cap suppresses their pair edges in BOTH graphs), and
+    // the re-crawl's changed page gains ONE entering "hot widget" mention.
+    // The entering mention cannot reach the old singletons through a key
+    // that never forms mm edges, so the hot pages must stay OUT of the
+    // recomputed slice — without the stably-hot exclusion, one boilerplate
+    // entrant would re-fold the key's entire population (10^8 mentions of
+    // "home" at web scale) on every delta.
+    val bu = Pipeline.Canonicalization.BottomUp()
+    def hotPage(n: Int): Page = {
+      val body = (Seq(s"== Hot $n ==") ++
+        (0 until 3).map(j => s"* [[Hot Widget]] — widget $j.")).mkString("\n")
+      Page(s"https://example.org/hot-$n", new Timestamp(1600000000000L),
+           world.htmlFor(body), body, "en")
+    }
+    def changer(withHot: Boolean): Page = {
+      val items = Seq("* [[Fresh Gadget A]] — new.",
+                      "* [[Fresh Gadget B]] — new.",
+                      "* [[Fresh Gadget C]] — new.") ++
+        (if (withHot) Seq("* [[Hot Widget]] — late arrival.") else Nil)
+      val body = (Seq("== Gadgets ==") ++ items).mkString("\n")
+      Page("https://example.org/changer",
+           new Timestamp(if (withHot) 1600000600000L else 1600000000000L),
+           world.htmlFor(body), body, "en")
+    }
+    val hotSeeds = seeds.copy(aliases = seeds.aliases.unionByName(
+      Seq(("hot widget", "Hot_Widget", 9L, false))
+        .toDF("alias", "ent", "freq", "is_hot")))
+    val v1 = world.pages ++ Seq(hotPage(1), hotPage(2), changer(false))
+    val v2 = world.pages ++ Seq(hotPage(1), hotPage(2), changer(true))
+    val prevDir = SparkSuite.tempDir("graft-buhot-prev")
+    val outDir = SparkSuite.tempDir("graft-buhot-out")
+    val freshDir = SparkSuite.tempDir("graft-buhot-fresh")
+    spark.conf.set("graft.ed.maxKeyBucket", "2")
+    try {
+      Pipeline.run(spark, v1.toDS().toDF(), hotSeeds, prevDir, canon = bu)
+      val delta = Pipeline.runDelta(spark, v2.toDS().toDF(), hotSeeds,
+                                    outDir, prevDir, canon = bu)
+      val full = Pipeline.run(spark, v2.toDS().toDF(), hotSeeds, freshDir,
+                              canon = bu)
+      val pr = TripleDiff.diff(delta, full)
+      assert(pr.precision == 1.0 && pr.recall == 1.0, s"hot-key delta: $pr")
+      // the entering mention still links (ME edges are uncapped) …
+      import org.apache.spark.sql.functions.col
+      assert(delta.filter(col("subj").contains("Hot_Widget")).count() > 0)
+      // … but the untouched hot pages were never re-folded
+      val sliceUrls = spark.read.parquet(s"$outDir/subjects_bu_fresh")
+        .select("url").distinct()
+      assert(sliceUrls.filter(col("url").startsWith(
+               "https://example.org/hot-")).count() == 0,
+             "stably-hot key dragged its untouched population into the slice")
+    } finally spark.conf.unset("graft.ed.maxKeyBucket")
+  }
+
+  test("ED mode: a stably-hot UNLINKED key stays out of the delta slice") {
+    // the ED engine shares the stably-hot exclusion, but its entity-
+    // adjacency probe must still pull hot-key entrants' components when
+    // the label is in the dictionary — so the ED win shows on UNLINKED
+    // boilerplate (the real web shape: "home"/"contact" link to nothing):
+    // no dictionary candidates ⇒ no entity adjacency, stably-hot key ⇒ no
+    // mm adjacency, and the 6 untouched singleton mentions must not
+    // re-score. Their shared NIL id ("new:hot widget") is content-derived,
+    // so the entrant coins the SAME id without seeing them.
+    val ed = Pipeline.Canonicalization.ScoredEd()
+    def hotPage(n: Int): Page = {
+      val body = (Seq(s"== Hot $n ==") ++
+        (0 until 3).map(j => s"* [[Hot Widget]] — widget $j.")).mkString("\n")
+      Page(s"https://example.org/hot-$n", new Timestamp(1600000000000L),
+           world.htmlFor(body), body, "en")
+    }
+    def changer(withHot: Boolean): Page = {
+      val items = Seq("* [[Fresh Gadget A]] — new.",
+                      "* [[Fresh Gadget B]] — new.",
+                      "* [[Fresh Gadget C]] — new.") ++
+        (if (withHot) Seq("* [[Hot Widget]] — late arrival.") else Nil)
+      val body = (Seq("== Gadgets ==") ++ items).mkString("\n")
+      Page("https://example.org/changer",
+           new Timestamp(if (withHot) 1600000600000L else 1600000000000L),
+           world.htmlFor(body), body, "en")
+    }
+    val v1 = world.pages ++ Seq(hotPage(1), hotPage(2), changer(false))
+    val v2 = world.pages ++ Seq(hotPage(1), hotPage(2), changer(true))
+    val prevDir = SparkSuite.tempDir("graft-edhot-prev")
+    val outDir = SparkSuite.tempDir("graft-edhot-out")
+    val freshDir = SparkSuite.tempDir("graft-edhot-fresh")
+    spark.conf.set("graft.ed.maxKeyBucket", "2")
+    try {
+      Pipeline.run(spark, v1.toDS().toDF(), seeds, prevDir, canon = ed)
+      val delta = Pipeline.runDelta(spark, v2.toDS().toDF(), seeds,
+                                    outDir, prevDir, canon = ed)
+      val full = Pipeline.run(spark, v2.toDS().toDF(), seeds, freshDir,
+                              canon = ed)
+      val pr = TripleDiff.diff(delta, full)
+      assert(pr.precision == 1.0 && pr.recall == 1.0, s"ED hot-key: $pr")
+      import org.apache.spark.sql.functions.col
+      val sliceUrls = spark.read.parquet(s"$outDir/subjects_ed_fresh")
+        .select("url").distinct()
+      assert(sliceUrls.filter(col("url").startsWith(
+               "https://example.org/hot-")).count() == 0,
+             "stably-hot unlinked key dragged its population into the slice")
+    } finally spark.conf.unset("graft.ed.maxKeyBucket")
   }
 
   test("ED-mode delta is COMPONENT-bounded and == a fresh full ED run, " +
