@@ -197,13 +197,22 @@ object Pipeline {
     * exactness, including rules and candidate counts crossing their
     * thresholds in both directions).
     *
-    * [[Canonicalization.ScoredEd]] deltas carry the per-page prefix but
-    * recompute the corpus stages: NastyLinker path scores propagate across
-    * urls through shared keys, so a url-sliced recompute is unsound there.
+    * [[Canonicalization.ScoredEd]] and [[Canonicalization.BottomUp]]
+    * deltas are COMPONENT-bounded rather than url-bounded: graph decisions
+    * propagate across urls through shared keys (so a url-sliced recompute
+    * would be unsound), but they are local to an alignment-graph / MM
+    * component — [[deltaGraphStages]] re-runs the mode only on the
+    * components the churn can reach and carries every other mention's
+    * assignment. A prevDir without the mode's recorded graph state (or
+    * with a different canonicalization-parameter fingerprint) bootstraps:
+    * one full corpus-stage recompute that records the state for the next
+    * delta in the chain.
     *
     * Seeds must be IDENTICAL to the previous run's (checked against the
     * recorded seeds fingerprint — a dictionary change invalidates carried
-    * links; use [[run]] on a fresh outDir for that). */
+    * links; use [[run]] on a fresh outDir for that). The same contract
+    * covers the canonicalization parameters, enforced by bootstrap rather
+    * than refusal (see `graph_canon_fp`). */
   def runDelta(spark: SparkSession, newPages: DataFrame, seedsIn: Seeds,
                outDir: String, prevDir: String, runId: String = "delta-1",
                canon: Canonicalization = Canonicalization.Components): DataFrame = {
@@ -224,15 +233,30 @@ object Pipeline {
     val edStateStages = Seq("subjects_ed", "ed_components", "ed_key_counts")
     val buStateStages = Seq("subjects_bu", "bu_components", "bu_key_counts")
     // ED/BU deltas are component-bounded when prevDir recorded the mode's
-    // graph state (a same-mode run() or runDelta()); a prevDir WITHOUT it
-    // (e.g. a Components-mode run — the prefix is canon-free) bootstraps
-    // by recomputing the corpus stages once, which records the state for
-    // the next delta in the chain.
+    // graph state (a same-mode run() or runDelta()) AND the recorded
+    // canonicalization parameters match this run's: carried subject rows
+    // embed prevDir's thresholds/scorer/hot-cap, so carrying them under
+    // different parameters would mix two configurations' decisions. Any
+    // mismatch — including a prevDir without the fingerprint, or an
+    // opaque caller-supplied scoreFn (never provably equal) — BOOTSTRAPS:
+    // the corpus stages recompute once under the CURRENT parameters and
+    // record fresh state for the next delta in the chain. A
+    // Components-mode prevDir (the prefix is canon-free) bootstraps the
+    // same way.
+    def canonFpReady: Boolean =
+      StageRunner.completed(prevDir, "graph_canon_fp") && {
+        val cur = canonFpOf(spark, canon)
+        val prev = spark.read.parquet(s"$prevDir/graph_canon_fp")
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        !cur.exists(_._2 == "custom_fn") && prev == cur.toMap
+      }
     val graphStateReady = canon match {
       case _: Canonicalization.ScoredEd =>
-        edStateStages.forall(StageRunner.completed(prevDir, _))
+        edStateStages.forall(StageRunner.completed(prevDir, _)) &&
+          canonFpReady
       case _: Canonicalization.BottomUp =>
-        buStateStages.forall(StageRunner.completed(prevDir, _))
+        buStateStages.forall(StageRunner.completed(prevDir, _)) &&
+          canonFpReady
       case _ => false
     }
     val needed = prefixStages ++
@@ -687,7 +711,7 @@ object Pipeline {
         runner.runKeyed("subjects", Seq("url")) {
           componentsSubjects(linked, keptUnlinked, nilAssign)
         }
-      case ed @ Canonicalization.ScoredEd(meT, mmT, _, _, _) =>
+      case ed: Canonicalization.ScoredEd =>
         // 4b. scored ED over ALL kept mentions: alignment graph (full
         // candidate dictionary, not the argmax-reduced one) → NastyLinker.
         // ONE corpus-side pass builds the graph; the split decides linked
@@ -695,80 +719,32 @@ object Pipeline {
         // subject table, the run records the ED DELTA STATE a later
         // [[runDelta]] maintains component-bounded (VERDICT r4 #3):
         // `ed_components` (the alignment graph's connected components,
-        // mention + entity node rows) and `ed_key_counts` (kept-mention
-        // key counts — the GLOBAL hot-key cap a slice recompute must use).
-        // keptAll/edges are lazy + locally checkpointed: a fully-resumed
-        // outDir never rebuilds them, and a partial resume builds each
-        // exactly once across the stages that share them.
-        val edRep = new LoopReport
-        lazy val keptAll = fresh(linked)
-          .unionByName(fresh(keptUnlinked)
-            .withColumn("ent", lit(null).cast("string")))
-          .localCheckpoint()
-        lazy val edges = AlignmentGraph.buildScored(
-            keptAll.select("mention_id", "label"), dict, edScoreFn(ed),
-            meT, mmT)
-          .localCheckpoint()
-        // ONE CC loop feeds both subjects_ed (NastyLinker's component
-        // split) and ed_components (the recorded delta state) — the two
-        // stages used to each pay the full iterative loop over the same
-        // edge set (~1/3 of the ED wall at bench scale)
-        lazy val edCc = graft.canonical.ConnectedComponents
-          .run(edges.select("src", "dst")).localCheckpoint()
-        val subjectsEd = runner.run("subjects_ed", report = edRep) {
-          val assign = AlignmentGraph.clusterEdges(
-            keptAll.select("mention_id", "label"), edges,
-            ed.pathThreshold, edRep, ccIn = Some(edCc))
-          edSubjectsOf(keptAll, assign)
-        }
-        runner.runKeyed("ed_components", Seq("comp")) {
-          edComponentsOf(keptAll, edCc)
-        }
-        runner.run("ed_key_counts") {
-          AlignmentGraph.graphMentions(
-              subjectsEd.select("mention_id", "label"))
-            .groupBy("key").agg(count(lit(1)).as("cnt"))
-        }
-        subjectsEd
+        // mention + entity node rows), `ed_key_counts` (kept-mention key
+        // counts — the GLOBAL hot-key cap a slice recompute must use),
+        // and `graph_canon_fp` (the parameter fingerprint a delta
+        // compares before carrying). Construction is the SAME
+        // [[GraphDeltaMode]] recompute the delta's component slice runs —
+        // the two paths cannot drift.
+        graphSubjects(spark, runner,
+          fresh(linked)
+            .unionByName(fresh(keptUnlinked)
+              .withColumn("ent", lit(null).cast("string")))
+            .localCheckpoint(),
+          edMode(spark, dict, ed))
       case bu: Canonicalization.BottomUp =>
         // 4c. bottom-up union-find over the SAME scored alignment graph
         // as ScoredEd, but clustered by the reference's ordered edge fold
         // (per-MM-component, see BottomUpCluster) — argmax entity, no
-        // path-threshold demotion. Like ED, the run records the BU DELTA
-        // STATE: `bu_components` (the MM-edge connected components — the
-        // fold's independence boundary; a mention's assignment depends on
-        // nothing outside its MM component, since the global entity
-        // collapse only renames cluster ids, which the subject table never
-        // consumes) and `bu_key_counts` (the GLOBAL hot-key cap).
-        lazy val keptAll = fresh(linked)
-          .unionByName(fresh(keptUnlinked)
-            .withColumn("ent", lit(null).cast("string")))
-          .localCheckpoint()
-        lazy val edges = AlignmentGraph.buildScored(
-            keptAll.select("mention_id", "label"), dict, buScoreFn(bu),
-            bu.meThreshold, bu.mmThreshold)
-          .localCheckpoint()
-        // ONE CC loop feeds both the fold (BottomUpCluster's component
-        // partition) and bu_components (the recorded delta state)
-        lazy val buCc = graft.canonical.ConnectedComponents
-          .run(buMmEdges(edges, bu.mmThreshold)
-                 .select(col("m1").as("src"), col("m2").as("dst")))
-          .localCheckpoint()
-        val subjectsBu = runner.run("subjects_bu") {
-          val assign = graft.canonical.BottomUpCluster.cluster(
-            buMeEdges(edges), buMmEdges(edges, bu.mmThreshold),
-            bu.mmThreshold, bu.meThreshold, ccIn = Some(buCc))
-          buSubjectsOf(keptAll, assign)
-        }
-        runner.runKeyed("bu_components", Seq("comp")) {
-          buComponentsOf(keptAll, buCc)
-        }
-        runner.run("bu_key_counts") {
-          AlignmentGraph.graphMentions(
-              subjectsBu.select("mention_id", "label"))
-            .groupBy("key").agg(count(lit(1)).as("cnt"))
-        }
-        subjectsBu
+        // path-threshold demotion. Records the analogous BU delta state
+        // (`bu_components` is MM-edge components only — the fold's
+        // independence boundary; the global entity collapse only renames
+        // cluster ids, which the subject table never consumes).
+        graphSubjects(spark, runner,
+          fresh(linked)
+            .unionByName(fresh(keptUnlinked)
+              .withColumn("ent", lit(null).cast("string")))
+            .localCheckpoint(),
+          buMode(spark, dict, bu))
     }
 
     // 6a. mining aggregates (url-keyed tables + count views) — the
@@ -828,6 +804,7 @@ object Pipeline {
   private case class Flips(frequentNew: DataFrame, flippedLabels: DataFrame,
                            validNew: DataFrame, validPrev: DataFrame,
                            prevSubjects: DataFrame,
+                           prevTypeRules: DataFrame,
                            f9FlipUrls: Option[DataFrame],
                            tagFlipUrls: Option[DataFrame])
 
@@ -907,7 +884,7 @@ object Pipeline {
           .select("url"))
       }
     Flips(frequentNew, flipped, validNew, validPrev, prevSubjects,
-          f9FlipUrls, tagFlipUrls)
+          prevTypeRules, f9FlipUrls, tagFlipUrls)
   }
 
   private def deltaMiningStages(spark: SparkSession, runner: StageRunner,
@@ -954,40 +931,130 @@ object Pipeline {
     * recorded stage names, whether entity nodes join components (ED's CC
     * runs over ME+MM edges, so an entering mention can reach an old
     * component through a shared DICTIONARY CANDIDATE; BU components are
-    * MM-only), and the component-slice recompute itself. Everything else
-    * — membership deltas, key-count maintenance, hotness flips, affected
+    * MM-only), the canonicalization-parameter fingerprint
+    * ([[canonFpOf]]), and the graph recompute itself (`recompute(all,
+    * hotKeysIn, report)` — `hotKeysIn = None` on a full run, the
+    * maintained GLOBAL hot set on a delta slice). Everything else —
+    * membership deltas, key-count maintenance, hotness flips, affected
     * components, slice closure, carries, mining maintenance — is shared
-    * verbatim by [[deltaEdStages]] and [[deltaBuStages]]. */
+    * verbatim by the two modes, and the FULL-run scaffolding
+    * ([[graphSubjects]]) is shared the same way, so a full run and the
+    * delta that carries it can never drift in construction. */
   private case class GraphDeltaMode(
       subjectsStage: String, compsStage: String, keyCountsStage: String,
       entityAdjacency: Boolean,
-      recompute: (DataFrame, DataFrame, LoopReport)
+      canonFp: Seq[(String, String)],
+      recompute: (DataFrame, Option[DataFrame], LoopReport)
         => (DataFrame, DataFrame))
+
+  /** The canonicalization-parameter fingerprint recorded beside the graph
+    * state (`graph_canon_fp`): carried subject rows embed the thresholds,
+    * scorer, and hot-key cap of the run that produced them, so a delta
+    * under DIFFERENT parameters must not carry (it would mix two
+    * configurations' decisions — the seeds-fingerprint argument, applied
+    * to the canon config). A caller-supplied `scoreFn` is opaque
+    * (`custom_fn`) and never matches — such chains bootstrap every delta
+    * (sound: the bootstrap recomputes under the CURRENT scorer). */
+  private def canonFpOf(spark: SparkSession,
+                        canon: Canonicalization): Seq[(String, String)] =
+    canon match {
+      case Canonicalization.Components => Seq("mode" -> "components")
+      case ed: Canonicalization.ScoredEd => Seq(
+        "mode" -> "scored_ed",
+        "me_threshold" -> ed.meThreshold.toString,
+        "mm_threshold" -> ed.mmThreshold.toString,
+        "path_threshold" -> ed.pathThreshold.toString,
+        "me_score" ->
+          (if (ed.scoreFn.isDefined) "custom_fn" else ed.meScore.toString),
+        "max_key_bucket" -> AlignmentGraph.maxKeyBucket(spark).toString)
+      case bu: Canonicalization.BottomUp => Seq(
+        "mode" -> "bottom_up",
+        "me_threshold" -> bu.meThreshold.toString,
+        "mm_threshold" -> bu.mmThreshold.toString,
+        "me_score" -> bu.meScore.toString,
+        "max_key_bucket" -> AlignmentGraph.maxKeyBucket(spark).toString)
+    }
+
+  private def edMode(spark: SparkSession, dict: DataFrame,
+                     ed: Canonicalization.ScoredEd): GraphDeltaMode =
+    GraphDeltaMode(
+      "subjects_ed", "ed_components", "ed_key_counts",
+      entityAdjacency = true,
+      canonFp = canonFpOf(spark, ed),
+      recompute = (all, hotIn, rep) => {
+        val edges = AlignmentGraph.buildScored(
+            all.select("mention_id", "label"), dict, edScoreFn(ed),
+            ed.meThreshold, ed.mmThreshold, hotKeysIn = hotIn)
+          .localCheckpoint()
+        // ONE CC loop feeds both the NastyLinker split and the recorded
+        // component table
+        val cc = graft.canonical.ConnectedComponents
+          .run(edges.select("src", "dst")).localCheckpoint()
+        val assign = AlignmentGraph.clusterEdges(
+          all.select("mention_id", "label"), edges,
+          ed.pathThreshold, rep, ccIn = Some(cc))
+        (edSubjectsOf(all, assign), edComponentsOf(all, cc))
+      })
+
+  private def buMode(spark: SparkSession, dict: DataFrame,
+                     bu: Canonicalization.BottomUp): GraphDeltaMode =
+    GraphDeltaMode(
+      "subjects_bu", "bu_components", "bu_key_counts",
+      entityAdjacency = false,
+      canonFp = canonFpOf(spark, bu),
+      recompute = (all, hotIn, _) => {
+        val edges = AlignmentGraph.buildScored(
+            all.select("mention_id", "label"), dict, buScoreFn(bu),
+            bu.meThreshold, bu.mmThreshold, hotKeysIn = hotIn)
+          .localCheckpoint()
+        val mm = buMmEdges(edges, bu.mmThreshold)
+        val mmCc = graft.canonical.ConnectedComponents
+          .run(mm.select(col("m1").as("src"), col("m2").as("dst")))
+          .localCheckpoint()
+        val assign = graft.canonical.BottomUpCluster.cluster(
+          buMeEdges(edges), mm, bu.mmThreshold, bu.meThreshold,
+          ccIn = Some(mmCc))
+        (buSubjectsOf(all, assign), buComponentsOf(all, mmCc))
+      })
+
+  private def canonFpDf(spark: SparkSession,
+                        fp: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    fp.toDF("param", "value")
+  }
+
+  /** The FULL-run graph-canonicalization scaffolding, shared by the ED and
+    * BU corpus stages: one lazy recompute feeds the subject table and the
+    * recorded component table (a fully-resumed outDir never rebuilds the
+    * graph; a partial resume builds it once), plus the key-count view and
+    * the canon-parameter fingerprint the delta readiness check compares. */
+  private def graphSubjects(spark: SparkSession, runner: StageRunner,
+                            keptAllIn: => DataFrame,
+                            mode: GraphDeltaMode): DataFrame = {
+    val rep = new LoopReport
+    lazy val keptAll = keptAllIn
+    lazy val computed = mode.recompute(keptAll, None, rep)
+    val subjects = runner.run(mode.subjectsStage, report = rep) {
+      computed._1
+    }
+    runner.runKeyed(mode.compsStage, Seq("comp")) { computed._2 }
+    runner.run(mode.keyCountsStage) {
+      AlignmentGraph.graphMentions(subjects.select("mention_id", "label"))
+        .groupBy("key").agg(count(lit(1)).as("cnt"))
+    }
+    runner.run("graph_canon_fp") { canonFpDf(spark, mode.canonFp) }
+    subjects
+  }
 
   private def deltaEdStages(spark: SparkSession, runner: StageRunner,
                             prevDir: String, dropUrls: DataFrame,
                             linkedAll: DataFrame, linkedFresh: DataFrame,
                             prevLinked: DataFrame, dict: DataFrame,
                             seeds: Seeds,
-                            ed: Canonicalization.ScoredEd): DataFrame = {
-    val mode = GraphDeltaMode(
-      "subjects_ed", "ed_components", "ed_key_counts",
-      entityAdjacency = true,
-      recompute = (sliceAll, hotNew, rep) => {
-        val sliceEdges = AlignmentGraph.buildScored(
-            sliceAll.select("mention_id", "label"), dict, edScoreFn(ed),
-            ed.meThreshold, ed.mmThreshold, hotKeysIn = Some(hotNew))
-          .localCheckpoint()
-        val sliceCc = graft.canonical.ConnectedComponents
-          .run(sliceEdges.select("src", "dst")).localCheckpoint()
-        val assign = AlignmentGraph.clusterEdges(
-          sliceAll.select("mention_id", "label"), sliceEdges,
-          ed.pathThreshold, rep, ccIn = Some(sliceCc))
-        (edSubjectsOf(sliceAll, assign), edComponentsOf(sliceAll, sliceCc))
-      })
+                            ed: Canonicalization.ScoredEd): DataFrame =
     deltaGraphStages(spark, runner, prevDir, dropUrls, linkedAll,
-                     linkedFresh, prevLinked, dict, seeds, mode)
-  }
+                     linkedFresh, prevLinked, dict, seeds,
+                     edMode(spark, dict, ed))
 
   /** BottomUp-mode DELTA: the same component-bounded discipline as
     * [[deltaEdStages]], over MM-only components — the fold for a
@@ -1000,27 +1067,10 @@ object Pipeline {
                             linkedAll: DataFrame, linkedFresh: DataFrame,
                             prevLinked: DataFrame, dict: DataFrame,
                             seeds: Seeds,
-                            bu: Canonicalization.BottomUp): DataFrame = {
-    val mode = GraphDeltaMode(
-      "subjects_bu", "bu_components", "bu_key_counts",
-      entityAdjacency = false,
-      recompute = (sliceAll, hotNew, _) => {
-        val sliceEdges = AlignmentGraph.buildScored(
-            sliceAll.select("mention_id", "label"), dict, buScoreFn(bu),
-            bu.meThreshold, bu.mmThreshold, hotKeysIn = Some(hotNew))
-          .localCheckpoint()
-        val mm = buMmEdges(sliceEdges, bu.mmThreshold)
-        val mmCc = graft.canonical.ConnectedComponents
-          .run(mm.select(col("m1").as("src"), col("m2").as("dst")))
-          .localCheckpoint()
-        val assign = graft.canonical.BottomUpCluster.cluster(
-          buMeEdges(sliceEdges), mm, bu.mmThreshold, bu.meThreshold,
-          ccIn = Some(mmCc))
-        (buSubjectsOf(sliceAll, assign), buComponentsOf(sliceAll, mmCc))
-      })
+                            bu: Canonicalization.BottomUp): DataFrame =
     deltaGraphStages(spark, runner, prevDir, dropUrls, linkedAll,
-                     linkedFresh, prevLinked, dict, seeds, mode)
-  }
+                     linkedFresh, prevLinked, dict, seeds,
+                     buMode(spark, dict, bu))
 
   /** Graph-canonicalization DELTA, component-bounded (VERDICT r4 #3 —
     * this path used to recompute every corpus stage). Both graph modes'
@@ -1184,11 +1234,15 @@ object Pipeline {
     //   stages share one lazy recompute: a fully-resumed outDir never
     //   builds the slice graph, a partial resume builds it once. —
     val rep = new LoopReport
-    lazy val recomputed = mode.recompute(sliceAll, hotNew, rep)
+    lazy val recomputed = mode.recompute(sliceAll, Some(hotNew), rep)
     runner.run(s"${mode.subjectsStage}_fresh", report = rep) {
       recomputed._1
     }
     runner.run(s"${mode.compsStage}_fresh") { recomputed._2 }
+    // re-record the canon fingerprint so this outDir can seed the next
+    // delta in the chain (parameters are unchanged by construction — the
+    // readiness check already compared them against prevDir's record)
+    runner.run("graph_canon_fp") { canonFpDf(spark, mode.canonFp) }
 
     // — carries —
     val dropMentionIds = hintSmall(
@@ -1228,7 +1282,9 @@ object Pipeline {
     def prevCarried(stage: String): DataFrame =
       StageRunner.read(spark, s"$prevDir/$stage")
     val seedTypes = seeds.entityTypes.select(col("ent"), col("tpe"))
-    val prevTypeRules = prevCarried("type_rules")
+    // the layered type_rules parent was already resolved for the tag-flip
+    // probe — reuse it instead of re-executing the layer chain
+    val prevTypeRules = flips.prevTypeRules
     val validNew = flips.validNew
     val validPrev = flips.validPrev
 
@@ -1410,7 +1466,13 @@ object Pipeline {
     // Ontology flavors (serialize.py:85-146,209-220): class hierarchy +
     // labels + disjointness, predicate typing, hasValue restrictions, and
     // restriction-derived facts — all from tables the engine already holds.
-    val trip = runner.runPartitioned("triples", "pred") {
+    // stage name is "triples_core", not the pre-carve-out "triples": the
+    // shape changed when provenance moved to its own carryable partition
+    // (`triples_prov`), and StageRunner resumes by name — an outDir
+    // written before the carve-out still holds the prov rows inside its
+    // "triples" checkpoint, and resuming it under the old name would emit
+    // every provenance triple twice (the linked→linked_all lesson)
+    val trip = runner.runPartitioned("triples_core", "pred") {
       TripleEmit.assembleFromCounts(
         labelCounts = m.labelCounts,
         types = types,

@@ -93,10 +93,17 @@ object MdMetrics {
       } else {
         // per gold (in sorted order — see determinism note): scenario IV's
         // exact-offsets-wrong-type test fires before the generic overlap
-        // test, exactly like the reference's per-true if/elif
+        // test, exactly like the reference's per-true if/elif. The overlap
+        // test is the reference's range-SET intersection
+        // (metrics.py:66-79): a zero-length span has an EMPTY range, so it
+        // can never overlap — without the non-emptiness terms a degenerate
+        // (tag, 3, 3) pred inside a gold would classify V instead of the
+        // reference's spurious (IV's offset-equality test has no such
+        // guard in the reference either, so none here)
         trues.find(t =>
           (t.start == p.start && t.end == p.end && t.tag != p.tag) ||
-          (t.start < p.end && p.start < t.end)) match {
+          (t.start < t.end && p.start < p.end &&
+           t.start < p.end && p.start < t.end)) match {
           case Some(t) =>
             overlapped += t
             if (t.start == p.start && t.end == p.end && t.tag != p.tag) {

@@ -13,13 +13,17 @@ import graft.emit.MdMetrics
   * of the scenario rules on the DuckDB side.
   *
   * Per order key k, gold = {(t(k%3), 0, 3), (t((k+1)%3), 5, 8)} and the
-  * two predictions cycle through the scenarios with m = k % 5:
+  * two predictions cycle through the scenarios with m = k % 6:
   *   m=0  both exact matches                       → I, I
   *   m=1  exact offsets, wrong type (both)         → IV, IV
   *   m=2  overlap same type + a pred overlapping BOTH golds (the
   *        first-gold-in-sorted-order rule decides: VI vs g1) → V, VI, 1 missed
   *   m=3  overlap same type on g2 + spurious       → V, II, 1 missed
   *   m=4  two spurious                             → II, II, 2 missed
+  *   m=5  ZERO-LENGTH pred (ta,1,1) inside g1 + exact on g2 — the empty
+  *        range must NOT overlap (reference range-set semantics):
+  *        → II, I, 1 missed (a V here means the overlap test lost its
+  *        non-emptiness terms)
   */
 object MdQueries {
 
@@ -29,7 +33,7 @@ object MdQueries {
       col("o_orderkey").cast("string").as("example"),
       when(col("o_orderkey") % 2 === 0, "enum").otherwise("table")
         .as("listing_type"),
-      (col("o_orderkey") % 5).as("m"),
+      (col("o_orderkey") % 6).as("m"),
       concat(lit("t"), col("o_orderkey") % 3).as("ta"),
       concat(lit("t"), (col("o_orderkey") + 1) % 3).as("tb"))
     def span(tag: Column, st: Column, en: Column): Column =
@@ -43,10 +47,11 @@ object MdQueries {
         span(when(m === 1, lit("zz")).when(m === 3, col("tb"))
                .when(m === 4, lit("zz")).otherwise(col("ta")),
              when(m === 2, lit(1)).when(m === 3, lit(6))
-               .when(m === 4, lit(20)).otherwise(lit(0)),
+               .when(m === 4, lit(20)).when(m === 5, lit(1)).otherwise(lit(0)),
              when(m === 2, lit(4)).when(m === 3, lit(9))
-               .when(m === 4, lit(23)).otherwise(lit(3))),
-        span(when(m === 1, col("ta")).when(m >= 3, lit("zz"))
+               .when(m === 4, lit(23)).when(m === 5, lit(1)).otherwise(lit(3))),
+        span(when(m === 1, col("ta"))
+               .when(m === 3 || m === 4, lit("zz"))
                .otherwise(col("tb")),
              when(m === 2, lit(2)).when(m === 3, lit(20))
                .when(m === 4, lit(30)).otherwise(lit(5)),
@@ -116,7 +121,7 @@ object MdQueries {
     """WITH o AS (SELECT o_orderkey AS k,
               CAST(o_orderkey AS VARCHAR) AS example,
               CASE WHEN o_orderkey % 2 = 0 THEN 'enum' ELSE 'table' END AS lt,
-              o_orderkey % 5 AS m,
+              o_orderkey % 6 AS m,
               't' || (o_orderkey % 3) AS ta,
               't' || ((o_orderkey + 1) % 3) AS tb
        FROM orders),
@@ -128,8 +133,8 @@ object MdQueries {
         SELECT DISTINCT * FROM (
           SELECT example, lt,
             CASE m WHEN 1 THEN 'zz' WHEN 3 THEN tb WHEN 4 THEN 'zz' ELSE ta END AS tag,
-            CASE m WHEN 2 THEN 1 WHEN 3 THEN 6 WHEN 4 THEN 20 ELSE 0 END AS s,
-            CASE m WHEN 2 THEN 4 WHEN 3 THEN 9 WHEN 4 THEN 23 ELSE 3 END AS e
+            CASE m WHEN 2 THEN 1 WHEN 3 THEN 6 WHEN 4 THEN 20 WHEN 5 THEN 1 ELSE 0 END AS s,
+            CASE m WHEN 2 THEN 4 WHEN 3 THEN 9 WHEN 4 THEN 23 WHEN 5 THEN 1 ELSE 3 END AS e
           FROM o
           UNION ALL
           SELECT example, lt,
@@ -150,7 +155,7 @@ object MdQueries {
                                   ORDER BY g.s, g.e, g.tag) AS rn
         FROM rest p JOIN goldd g ON g.example = p.example AND
              ((g.s = p.s AND g.e = p.e AND g.tag <> p.tag) OR
-              (g.s < p.e AND p.s < g.e))),
+              (g.s < g.e AND p.s < p.e AND g.s < p.e AND p.s < g.e))),
       first_match AS (SELECT * FROM matches WHERE rn = 1),
       classified AS (
         SELECT example, lt,

@@ -251,11 +251,26 @@ object StageRunner {
   /** Write `df` partitioned by the key-hash bucket column, with the bucket
     * count recorded beside the table (`_buckets` — underscore-prefixed, so
     * parquet readers ignore it) for later layers to bucket their drops
-    * consistently. */
+    * consistently.
+    *
+    * Dynamic-partition writers create data files LAZILY: an EMPTY frame
+    * (a no-change re-crawl's drop set, a slice with no touched entities)
+    * leaves only `_SUCCESS` behind, and the immediate `spark.read.parquet`
+    * would die with "Unable to infer schema" — unlike a plain write, which
+    * emits a schema-bearing empty file. Backfill that file so an empty
+    * bucketed table reads like any other (the filesystem probe is free;
+    * re-running the frame's plan via isEmpty would not be). */
   private[runtime] def writeBucketed(df: DataFrame, path: String,
                                      key: String, n: Int): Unit = {
-    df.withColumn(BucketCol, bucketExpr(key, n))
-      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
+    val keyed = df.withColumn(BucketCol, bucketExpr(key, n))
+    keyed.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(path)
+    val listing = Files.list(Paths.get(path))
+    val wroteData =
+      try listing.anyMatch(
+        p => p.getFileName.toString.startsWith(s"$BucketCol="))
+      finally listing.close()
+    if (!wroteData)
+      keyed.limit(0).write.mode(SaveMode.Append).parquet(path)
     Files.write(Paths.get(path, "_buckets"),
                 n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }

@@ -395,6 +395,37 @@ class DeltaSpec extends SparkSuite {
       .read(spark, s"$outDir/ed_components").count() > 0)
   }
 
+  test("changed canonicalization parameters BOOTSTRAP instead of carrying " +
+       "(carried rows embed prevDir's thresholds)") {
+    // full ED at the default pathThreshold, then a delta at a DIFFERENT
+    // pathThreshold: the graph state exists but its graph_canon_fp
+    // mismatches, so the delta must NOT slice-carry (it would mix two
+    // configurations' linked/NIL decisions) — it bootstraps, recomputing
+    // the corpus stages under the CURRENT parameters, and must equal a
+    // fresh full run at those parameters.
+    val v2 = world.pages
+    val (v1, _, _) = previousCrawl(v2)
+    val prevDir = SparkSuite.tempDir("graft-canonfp-prev")
+    val outDir = SparkSuite.tempDir("graft-canonfp-out")
+    val freshDir = SparkSuite.tempDir("graft-canonfp-fresh")
+    Pipeline.run(spark, v1.toDS().toDF(), seeds, prevDir,
+                 canon = Pipeline.Canonicalization.ScoredEd())
+    val changed = Pipeline.Canonicalization.ScoredEd(pathThreshold = 0.9)
+    val delta = Pipeline.runDelta(spark, v2.toDS().toDF(), seeds,
+                                  outDir, prevDir, canon = changed)
+    val full = Pipeline.run(spark, v2.toDS().toDF(), seeds, freshDir,
+                            canon = changed)
+    val pr = TripleDiff.diff(delta, full)
+    assert(pr.precision == 1.0 && pr.recall == 1.0, s"canon-fp drift: $pr")
+    // bootstrap evidence: no component-slice stage was written, and the
+    // new outDir recorded the CHANGED fingerprint for the next chain hop
+    assert(!graft.runtime.StageRunner.completed(outDir, "subjects_ed_fresh"),
+           "parameter change must not slice-carry")
+    val fp = spark.read.parquet(s"$outDir/graph_canon_fp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fp("path_threshold") == "0.9", s"recorded fp: $fp")
+  }
+
   test("chained ED deltas: an ED delta outDir seeds the next ED delta") {
     val ed = Pipeline.Canonicalization.ScoredEd()
     val v2 = world.pages

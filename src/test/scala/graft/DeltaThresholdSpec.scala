@@ -286,4 +286,25 @@ class DeltaThresholdSpec extends SparkSuite {
       spark.conf.unset("graft.delta.maxBroadcastKeys")
     }
   }
+
+  test("url-bucketed carry survives an EMPTY drop set (no-change re-crawl)") {
+    // dynamic-partition writers create files lazily: an empty bucketed
+    // drop frame used to leave a data-less _layer_drops directory and the
+    // immediate read-back died with "Unable to infer schema". A no-change
+    // re-crawl (every carried stage drops nothing) is the smallest such
+    // delta — it must resolve and stay triple-identical.
+    val v2 = world.pages
+    spark.conf.set("graft.delta.bucketedCarry", "true")
+    spark.conf.set("graft.delta.carryBuckets", "8")
+    try {
+      val (delta, outDir) = run3(v2, v2, "graft-bucketed-noop")
+      assert(delta.count() > 0)
+      // the carried layer (with its empty bucketed drop table) resolves
+      assert(graft.runtime.StageRunner
+        .read(spark, s"$outDir/pages_text").count() > 0)
+    } finally {
+      spark.conf.unset("graft.delta.bucketedCarry")
+      spark.conf.unset("graft.delta.carryBuckets")
+    }
+  }
 }

@@ -72,6 +72,18 @@ class MdMetricsSpec extends SparkSuite {
     MdMetrics.Schemas.foreach(s => assert(c(s) == ((0L, 0L, 0L, 1L, 1L)), s))
   }
 
+  test("zero-length pred inside a gold is SPURIOUS, not an overlap " +
+       "(reference range-set intersection — an empty range overlaps nothing)") {
+    val c = counts(Seq(Span("a", 2, 2)), Seq(Span("a", 0, 3)))
+    MdMetrics.Schemas.foreach(s => assert(c(s) == ((0L, 0L, 0L, 1L, 1L)), s))
+    // …but scenario IV's offset-equality test has no emptiness guard in
+    // the reference, so equal degenerate offsets with a wrong type still
+    // classify IV
+    val c4 = counts(Seq(Span("b", 2, 2)), Seq(Span("a", 2, 2)))
+    assert(c4("strict") == ((0L, 1L, 0L, 0L, 0L)))
+    assert(c4("exact") == ((1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("multi-overlap: the FIRST gold in (start,end,tag) order decides, " +
        "later overlapped golds stay missed") {
     // pred [2,6) overlaps both golds; g1=[0,3) sorts first, same tag → V;

@@ -44,7 +44,7 @@ class PipelineSpec extends SparkSuite {
   test("triples are written partitioned by predicate") {
     val outDir = SparkSuite.tempDir("graft-part")
     Pipeline.run(spark, world.pages.toDS().toDF(), seeds, outDir)
-    val dirs = new java.io.File(s"$outDir/triples").listFiles()
+    val dirs = new java.io.File(s"$outDir/triples_core").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs.exists(_.startsWith("pred=")), s"no pred partitions: $dirs")
     assert(dirs.size >= 3, s"expected >=3 predicate partitions, got $dirs")

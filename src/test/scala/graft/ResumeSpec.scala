@@ -22,7 +22,7 @@ class ResumeSpec extends SparkSuite {
     def rm(p: java.io.File): Unit = {
       if (p.isDirectory) p.listFiles.foreach(rm); p.delete()
     }
-    Seq("types", "relations", "triples", "triples_prov").foreach(s =>
+    Seq("types", "relations", "triples_core", "triples_prov").foreach(s =>
       rm(new java.io.File(s"$outDir/$s")))
 
     val second = Pipeline.run(spark, pagesDf, seeds, outDir, runId = "run-2")
@@ -36,7 +36,7 @@ class ResumeSpec extends SparkSuite {
       .select("stage", "resumed").as[(String, Boolean)].collect().toMap
     assert(lin("pages_text") && lin("mentions") && lin("linked_all"),
            s"early stages should resume: $lin")
-    assert(!lin("types") && !lin("relations") && !lin("triples") &&
+    assert(!lin("types") && !lin("relations") && !lin("triples_core") &&
              !lin("triples_prov"),
            s"late stages should re-run: $lin")
   }
@@ -76,7 +76,7 @@ class ResumeSpec extends SparkSuite {
     val outDir = SparkSuite.tempDir("graft-lin")
     Pipeline.run(spark, world.pages.toDS().toDF(), seeds, outDir)
     val parts = spark.read.parquet(s"$outDir/_lineage")
-      .filter(col("stage").startsWith("triples/pred="))
+      .filter(col("stage").startsWith("triples_core/pred="))
       .select("stage").as[String].collect()
     assert(parts.length >= 3, s"per-pred lineage missing: ${parts.toSeq}")
     // iterative stages surface their loop rounds + convergence in lineage
