@@ -87,8 +87,12 @@ object BottomUpCluster {
     val spark = meCandidates.sparkSession
     import spark.implicits._
 
-    val mm = mmCandidates.filter(col("score") > mmThreshold)
+    // pair-sized; pinned when WE run CC over it (two consumers: the CC
+    // loop and the fold's mm rows) — a caller-supplied ccIn leaves one
+    // consumer and needs no pin
+    val mmPlan = mmCandidates.filter(col("score") > mmThreshold)
       .select(col("m1"), col("m2"), col("score"))
+    val mm = if (ccIn.isEmpty) mmPlan.localCheckpoint() else mmPlan
     // per-mention best entity above threshold (argmax score, tie → min ent)
     val me = meCandidates.filter(col("score") > meThreshold)
       .withColumn("rn", row_number().over(
@@ -107,10 +111,14 @@ object BottomUpCluster {
     // fall back to themselves as a singleton component via the left join.
     val cc = ccIn.getOrElse(ConnectedComponents.run(
       mm.select(col("m1").as("src"), col("m2").as("dst"))))
+    // mention-sized; pinned — THREE fold branches (mention domain, ME
+    // rows, MM rows) consume it, and each would otherwise re-run the CC
+    // output join (and through it the whole candidate subtree)
     val comp = domain
       .join(cc, domain("m") === cc("node"), "left")
       .select(col("m").as("node"),
               coalesce(col("component"), col("m")).as("component"))
+      .localCheckpoint()
 
     val mentionsByComp = comp
       .as[(String, String)].map(r => (r._2, r._1, true, "", 0.0))
@@ -141,6 +149,11 @@ object BottomUpCluster {
         foldComponent(mentions, edges)
       }
       .toDF("mention_id", "ent", "fold_cluster")
+      // mention-sized; pinned — the entity-collapse aggregate AND the
+      // final join both consume it, and the fold (groupByKey +
+      // flatMapGroups over the whole candidate union) is the most
+      // expensive stage of this operator
+      .localCheckpoint()
 
     // global collapse: clusters with the same (non-null) entity merge
     val entMin = folded.filter(col("ent").isNotNull)

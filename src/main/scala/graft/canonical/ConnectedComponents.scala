@@ -34,23 +34,32 @@ object ConnectedComponents {
   def run(edges: DataFrame,
           report: graft.runtime.LoopReport = null): DataFrame = {
     var (e, eIds) = Checkpoints.tracked(symmetrize(edges))
+    // count of the just-checkpointed edge set: a shuffle-free job over the
+    // in-memory blocks, used to SHORT-CIRCUIT the convergence check below
+    var eCount = e.count()
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
       val (next, nextIds) = Checkpoints.tracked(smallStar(largeStar(e)))
+      val nextCount = next.count()
       // Converged when the (directed, deduped) edge set is unchanged —
-      // ONE action: both sides are distinct sets, so the edge sets are
-      // equal iff the symmetric difference (count==1 groups of the union)
-      // is empty. Fresh aliases keep the union children's exprIds disjoint.
+      // both sides are distinct sets, so the edge sets are equal iff the
+      // counts match AND the symmetric difference (count==1 groups of the
+      // union) is empty. The count gate skips the union+aggregate job on
+      // every round that still shrinks the edge set — the expensive check
+      // runs only when equality is actually possible (typically once, on
+      // the final round). Fresh aliases keep the union children's exprIds
+      // disjoint.
       def fresh(df: DataFrame): DataFrame =
         df.select(df.columns.map(c => col(c).as(c)): _*)
-      converged = fresh(next).unionByName(fresh(e))
-        .groupBy("src", "dst").agg(count(lit(1)).as("c"))
-        .filter(col("c") === 1).isEmpty
+      converged = nextCount == eCount &&
+        fresh(next).unionByName(fresh(e))
+          .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+          .filter(col("c") === 1).isEmpty
       // the previous round's checkpoint is now unreachable — free it so a
       // log-round loop holds TWO rounds of state, not all of them
       Checkpoints.free(e, eIds)
-      e = next; eIds = nextIds
+      e = next; eIds = nextIds; eCount = nextCount
       iter += 1
     }
     if (report != null) { report.rounds = iter; report.converged = converged }

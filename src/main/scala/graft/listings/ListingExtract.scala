@@ -209,6 +209,11 @@ object ListingExtract {
       .withColumn("table_id",
         sum(when(col("line").startsWith("{|") && col("depth_prev") === 0, 1)
           .otherwise(0)).over(cum))
+      // line-level; pinned — three consumers (enum items, table sections,
+      // table content) would each re-run the explode + the url-keyed
+      // cumulative windows over the corpus (the formatted plan showed the
+      // full scan subtree repeated per consumer)
+      .localCheckpoint()
 
     // — enum path (outside any table) —
     val enumItems = sectioned
@@ -259,6 +264,9 @@ object ListingExtract {
         coalesce(nullif(regexp_extract(col("attrs"),
           "(?:^|\\s)colspan\\s*=\\s*\"?([0-9]+)", 1), lit("")).cast("int"),
           lit(1)))
+      // cell-level; pinned — the row aggregate and the rowspan carrier
+      // both consume it (each cell pays three regexp_extracts to build)
+      .localCheckpoint()
     val rowAgg = cells.groupBy("url", "table_id", "row_mark")
       .agg(count(lit(1)).as("raw"),
            sum("colspan").as("colspan_sum"),
@@ -267,6 +275,9 @@ object ListingExtract {
              .getField("content").as("first_cell"))
       .withColumn("row_pos", row_number().over(
         Window.partitionBy("url", "table_id").orderBy("row_mark")) - 1)
+      // row-level; pinned — three consumers (span carrier, incoming
+      // left-outer, the grading join)
+      .localCheckpoint()
     // incoming rowspan widths: spans from row r' reach rows r'+1..r'+k-1
     val spans = cells.filter(col("rowspan") > 1)
       .join(rowAgg.select(col("url"), col("table_id"), col("row_mark"),
@@ -299,6 +310,9 @@ object ListingExtract {
       .withColumn("n_data", count(lit(1)).over(
         Window.partitionBy("url", "table_id")))
       .filter(col("n_data") >= 3)
+      // row-level; pinned — consumed by the surviving-table numbering AND
+      // the item join
+      .localCheckpoint()
     // listing key: table:<section>, #idx for further tables in the section;
     // numbering counts only SURVIVING tables, in table order (≙ imperative)
     val keptTables = dataRows.select("url", "table_id").distinct()

@@ -176,7 +176,8 @@ object Ann {
     val k = 8
     val sample = e.filter(col("vec_id") < 64)
     val (cents, _) =
-      Kmeans.train(sample, Kmeans.seedFarthestFirst(sample, k), iters = 3)
+      Kmeans.train(sample, Kmeans.seedFarthestFirst(sample, k), iters = 3,
+                   withObjective = false)
     ivfTopK(e, cents, nProbe = k)
   }
 
@@ -245,6 +246,9 @@ object Ann {
     val small = signed.withColumn("bsize",
       count(lit(1)).over(Window.partitionBy("band", "sig")))
       .filter(col("bsize") <= MaxBucket)
+      // pinned: both self-join sides re-pay the 16 hyperplane dot products
+      // per vector otherwise (the signature pass is the expensive stage)
+      .localCheckpoint()
     val cand = small.select(col("vec_id").as("a"), col("emb").as("ea"),
                             col("nrm").as("na"), col("band"), col("sig"))
       .join(small.select(col("vec_id").as("b"), col("emb").as("eb"),

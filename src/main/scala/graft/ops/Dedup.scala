@@ -45,16 +45,23 @@ object Dedup {
 
   // — shared shingling (word 3-grams, distinct per doc) —
 
-  private def toksCol: Column = split(col("text"), " ")
-
-  /** (doc_id, shingle) distinct pairs. */
+  /** (doc_id, shingle) distinct pairs.
+    *
+    * The token array is materialized in its OWN projection before the
+    * shingle transform: higher-order functions evaluate their lambda body
+    * per element, so an inline `split(text)` inside the lambda re-tokenizes
+    * the whole document for EVERY shingle (O(words²) per doc — guide §1.2
+    * "per-task work"). With the alias, `split` runs once per row and the
+    * lambda only slices the bound array. CollapseProject keeps the alias
+    * because it is referenced more than once and is not cheap. */
   def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .filter(size(toksCol) >= 3)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(transform(
-          sequence(lit(1), size(toksCol) - 2),
-          i => concat_ws(" ", slice(toksCol, i, lit(3)))))).as("shingle"))
+          sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", slice(col("toks"), i, lit(3)))))).as("shingle"))
 
   val shinglesSql: String =
     """SELECT doc_id, unnest(list_distinct(list_transform(
@@ -98,20 +105,48 @@ object Dedup {
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= RareDf).select("shingle")
     val shr = sh.join(rare, "shingle")
+    // candidate pairs WITH the shared-rare-shingle count: the groupBy costs
+    // the same shuffle the former `distinct()` paid, but the count feeds an
+    // EXACT pre-filter that spares the expensive array_intersect verify:
+    // jac >= 0.5 ⟺ 3·|A∩B| >= n_a + n_b, and |A∩B| <= shared_rare +
+    // min(common_a, common_b) (every intersection shingle is globally rare
+    // or globally common; the rare ones are exactly the join hits). A pair
+    // failing 3·(shared_rare + min(common)) >= n_a + n_b can never verify —
+    // measured: 435,954 candidates → a handful reach the verify join, the
+    // verify stage was ~55% of this operator's wall (guide §1.2: remove
+    // work you throw away).
     val cand = shr.select(col("doc_id").as("a"), col("shingle"))
       .join(shr.select(col("doc_id").as("b"), col("shingle")), "shingle")
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    verifyJaccard(cand, sh)
+      .groupBy("a", "b").agg(count(lit(1)).as("shared_rare"))
+    val stats = sh.groupBy("doc_id").agg(count(lit(1)).as("n_all"))
+      .join(shr.groupBy("doc_id").agg(count(lit(1)).as("n_rare")),
+            Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_rare"))
+      .withColumn("n_common", col("n_all") - col("n_rare"))
+    val pruned = cand
+      .join(stats.select(col("doc_id").as("a"), col("n_all").as("na_all"),
+                         col("n_common").as("na_c")), "a")
+      .join(stats.select(col("doc_id").as("b"), col("n_all").as("nb_all"),
+                         col("n_common").as("nb_c")), "b")
+      .filter((col("shared_rare") + least(col("na_c"), col("nb_c"))) * 3 >=
+              col("na_all") + col("nb_all"))
+      .select("a", "b")
+    verifyJaccard(pruned, sh)
   }
 
   /** Exact-Jaccard verification of candidate pairs against full shingle
     * sets (sort_array for deterministic layout; intersection size is
     * set-semantic so order only matters for reproducibility of plans). */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    // pinned: the a-side and b-side joins each build this frame — without
+    // the pin the collect_set aggregation (the most expensive pass of the
+    // verify stage) runs twice; the plans confirmed two separate
+    // Exchange+ObjectHashAggregate subtrees feeding the two broadcasts
     val sets = sh.groupBy("doc_id")
       .agg(sort_array(collect_set("shingle")).as("shs"))
       .withColumn("n", size(col("shs")))
+      .localCheckpoint()
     cand
       .join(sets.select(col("doc_id").as("a"), col("shs").as("sa"),
                         col("n").as("na")), "a")
@@ -174,22 +209,36 @@ object Dedup {
     * bucket minimum (linear — the mass-template regime). Input `dsh`:
     * (doc_id, sid) distinct shingle ids. */
   private def lshCandidates(dsh: DataFrame): DataFrame = {
-    val ks = (0 until NumHashes).map { k =>
-      struct(lit(k).as("k"), lit(HashA(k)).as("ha"), lit(HashB(k)).as("hb"))
+    // ONE doc_id-keyed aggregation computes all 8 minhashes as columns —
+    // the former shape exploded dsh 8× and paid TWO shuffles ((doc_id, k)
+    // aggregate, then a (doc_id, band) collect_list) to assemble the band
+    // buckets; 8 min-aggregates shuffle 1/8 the rows once, with map-side
+    // partial aggregation, and the band bucket strings are then a pure
+    // projection (guide §2.3 "aggregate before you shuffle" / §2.4).
+    // Bucket strings are bit-identical to the old sort_array(collect_list)
+    // form: "k:mh" entries in k order (single-digit k sorts lexically).
+    val minhashAggs = (0 until NumHashes).map { k =>
+      min((lit(HashA(k)) * col("sid") + lit(HashB(k))) % P).as(s"mh$k")
     }
-    val mh = dsh
-      .select(col("doc_id"), col("sid"), explode(array(ks: _*)).as("h"))
-      .groupBy(col("doc_id"), col("h.k").as("k"))
-      .agg(min((col("h.ha") * col("sid") + col("h.hb")) % P).as("mh"))
+    val mh = dsh.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+    val bandStructs = (0 until NumHashes / BandRows).map { b =>
+      val entries = (0 until BandRows).map { r =>
+        val k = b * BandRows + r
+        concat_ws(":", lit(k), col(s"mh$k"))
+      }
+      struct(lit(b).as("band"), concat_ws(",", entries: _*).as("bucket"))
+    }
     val bands = mh
-      .withColumn("band", (col("k") / BandRows).cast("int"))
-      .groupBy("doc_id", "band")
-      // deterministic bucket key: minhashes concatenated in k order
-      .agg(concat_ws(",", sort_array(collect_list(
-        concat_ws(":", col("k"), col("mh"))))).as("bucket"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+              col("bb.bucket").as("bucket"))
     val w = Window.partitionBy("band", "bucket")
+    // pinned: the three pair branches (small a-side, small b-side, star)
+    // otherwise re-run the whole shingle→minhash→window subtree — the
+    // formatted plan showed THREE full parquet scans for this one operator
     val sized = bands.withColumn("bsize", count(lit(1)).over(w))
       .withColumn("bmin", min("doc_id").over(w))
+      .localCheckpoint()
     val small = sized.filter(col("bsize") <= MaxBucket)
     val allPairs = small
       .select(col("doc_id").as("a"), col("band"), col("bucket"))
@@ -204,7 +253,9 @@ object Dedup {
   }
 
   def minhashLsh(s: SparkSession, d: String): DataFrame =
-    minhashLshFrom(shingles(s, d))
+    // two consumers (candidate sids + verify sets) — same pin discipline
+    // as ngramJaccard's shingle frame
+    minhashLshFrom(shingles(s, d).localCheckpoint())
 
   /** Exact-oracle MinHash+LSH over a caller-supplied shingle frame (the
     * containment gate pins ONE shingle frame and feeds both paths). */
@@ -298,16 +349,18 @@ object Dedup {
     def bitOf(j: Int): Column =
       if (j < 32) shiftright(col("h1"), j).bitwiseAND(1)
       else shiftright(col("h2"), j - 32).bitwiseAND(1)
-    val bitSums = (0 until 64).map { j =>
-      sum(when(bitOf(j) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
+    // per-bit set COUNTS plus the row count: bit-majority b_j = Σ(±1) > 0
+    // ⟺ 2·count_set(j) > n — same integers, but the aggregate input is a
+    // plain shift-and-mask instead of 64 CASE WHEN branches per row
+    val bitSums = (0 until 64).map { j => sum(bitOf(j)).as(s"b$j") }
     val bandCols = (0 until SimhashBands).map { k =>
       (0 until SimhashBandBits)
-        .map(j => when(col(s"b${k * SimhashBandBits + j}") > 0,
+        .map(j => when(col(s"b${k * SimhashBandBits + j}") * 2 > col("bn"),
                        lit(1L << j)).otherwise(0L))
         .reduce(_ + _).as(s"f$k")
     }
-    val fp = dsh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = dsh.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail :+ count(lit(1)).as("bn"): _*)
       .select(col("doc_id") +: bandCols: _*)
     // banded blocking: bucket key = (band index, band value), capped.
     // Every blocked row CARRIES its full 4-band fingerprint so Hamming
@@ -321,8 +374,11 @@ object Dedup {
       .select((col("doc_id") +: fullFp) :+ col("bk.band").as("band") :+
               col("bk.bval").as("bval"): _*)
     val w = Window.partitionBy("band", "bval")
+    // pinned: four consumers (small a/b sides, star hot a/b sides) would
+    // each re-run the 64-aggregate fingerprint pass over the corpus
     val sized = blocked.withColumn("bsize", count(lit(1)).over(w))
       .withColumn("bmin", min("doc_id").over(w))
+      .localCheckpoint()
     val small = sized.filter(col("bsize") <= MaxBucket)
     val hamming = (0 until SimhashBands)
       .map(k => bit_count(col(s"fa$k").bitwiseXOR(col(s"fb$k"))))
@@ -399,6 +455,7 @@ object Dedup {
       .select(col("vec_id"), col("label"),
               transform(col("embedding"), x => x.cast("double")).as("emb"))
       .withColumn("nrm", Ann.norm(col("emb"))) // hoisted out of the pair stage
+      .localCheckpoint() // both self-join sides re-pay the norm pass otherwise
     val a = e.select(col("vec_id").as("a"), col("label"), col("emb").as("ea"),
                      col("nrm").as("na"))
     val b = e.select(col("vec_id").as("b"), col("label"), col("emb").as("eb"),
@@ -432,6 +489,9 @@ object Dedup {
                          nProbe: Int): DataFrame = {
     val assigned = Ann.assignCells(e, centroids, nProbe)
       .withColumn("nrm", Ann.norm(col("emb"))) // hoisted out of the pair stage
+      // pinned: the cell self-join's two sides each re-run the centroid
+      // broadcast join + per-vector argmax window otherwise
+      .localCheckpoint()
     assigned.select(col("vec_id").as("a"), col("emb").as("ea"),
                     col("nrm").as("na"), col("cell"))
       .join(assigned.select(col("vec_id").as("b"), col("emb").as("eb"),
@@ -493,7 +553,9 @@ object Dedup {
     * there is no self-join anywhere, so this is the cheap screen that runs
     * BEFORE pair-generating dedup at 100 TB. */
   def commonNgrams(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+    // two consumers (the df aggregate and the join-back) — pin so the
+    // corpus is shingled once, not twice
+    val sh = shingles(s, d).localCheckpoint()
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     sh.join(df, "shingle")
       .groupBy("doc_id")

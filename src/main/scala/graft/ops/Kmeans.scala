@@ -41,12 +41,74 @@ object Kmeans {
     when(n > 0, transform(c, x => x / n)).otherwise(c)
   }
 
+  /** Above this row count the seeding sample is no longer "driver-sized"
+    * and the distributed k-round loop runs instead (seeding always operates
+    * on a bounded deterministic sample — see the object scaladoc). */
+  val DriverSeedMax = 65536L
+
   /** vectors(vec_id, emb) → k centroids(cent_id, ce), deterministic:
     * start from the min-id vector; repeatedly add the vector farthest
-    * (min max-cosine) from the chosen set, ties broken by vec_id asc. */
+    * (min max-cosine) from the chosen set, ties broken by vec_id asc.
+    *
+    * Fast path: the farthest-first traversal is k sequential argmin
+    * rounds, each of which was a full Spark job (broadcast + aggregate +
+    * checkpoint) — ~k driver actions of pure fixed overhead on a sample
+    * that is bounded by contract. When the normalized sample is
+    * driver-sized (≤ [[DriverSeedMax]] rows, long ids, double embeddings)
+    * the traversal runs as a driver loop over the COLLECTED sample with
+    * bit-identical arithmetic (the same left-fold dot-product order, the
+    * same (max_sim asc, vec_id asc) argmin) — the ValidTags-style
+    * "broadcast-sized by design" discipline. Larger or non-standard-typed
+    * inputs take the original distributed loop. */
   def seedFarthestFirst(vectors: DataFrame, k: Int): DataFrame = {
     val v = vectors.select(col("vec_id"), l2normalize(col("emb")).as("emb"))
       .localCheckpoint()
+    val embOk = v.schema("emb").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+             org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    }
+    val driverable =
+      v.schema("vec_id").dataType == org.apache.spark.sql.types.LongType &&
+      embOk && v.count() <= DriverSeedMax
+    if (driverable) seedDriver(v, k) else seedDistributed(v, k)
+  }
+
+  private def seedDriver(v: DataFrame, k: Int): DataFrame = {
+    val sp = v.sparkSession
+    import sp.implicits._
+    val rows = v.as[(Long, Seq[Double])].collect()
+    def ddot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length && i < b.length) { acc += a(i) * b(i); i += 1 }
+      acc // left fold in index order — identical to aggregate(zip_with)
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    chosen += rows.indices.minBy(rows(_)._1)
+    while (chosen.size < k) {
+      // min over ALL vectors (chosen included, as the join-based loop did)
+      // of (max cos to chosen set), ties by vec_id asc
+      var bestIdx = -1; var bestSim = Double.MaxValue; var bestId = 0L
+      var i = 0
+      while (i < rows.length) {
+        var ms = Double.MinValue
+        chosen.foreach { c =>
+          val s = ddot(rows(i)._2, rows(c)._2); if (s > ms) ms = s
+        }
+        if (bestIdx < 0 || ms < bestSim ||
+            (ms == bestSim && rows(i)._1 < bestId)) {
+          bestIdx = i; bestSim = ms; bestId = rows(i)._1
+        }
+        i += 1
+      }
+      chosen += bestIdx
+    }
+    chosen.zipWithIndex
+      .map { case (idx, ci) => (ci.toLong, rows(idx)._2) }.toSeq
+      .toDF("cent_id", "ce")
+  }
+
+  private def seedDistributed(v: DataFrame, k: Int): DataFrame = {
     var (chosen, chosenIds) = graft.runtime.Checkpoints.tracked(
       v.orderBy("vec_id").limit(1)
         .select(lit(0L).as("cent_id"), col("emb").as("ce")))
@@ -70,9 +132,16 @@ object Kmeans {
   }
 
   /** Lloyd iterations; returns (trained centroids(cent_id, ce),
-    * per-round objective Σ cos — non-decreasing). */
+    * per-round objective Σ cos — non-decreasing).
+    *
+    * `withObjective = false` skips the per-round objective action AND the
+    * corpus-sized assignment checkpoint (the per-round cents checkpoint
+    * still truncates lineage): callers that only consume the centroids
+    * (e.g. [[Ann.ivfTrainedTopK]]) run ONE action per round instead of
+    * three — the returned objective Seq is then empty. */
   def train(vectors: DataFrame, init: DataFrame,
-            iters: Int = 5): (DataFrame, Seq[Double]) = {
+            iters: Int = 5, withObjective: Boolean = true)
+      : (DataFrame, Seq[Double]) = {
     val v = vectors.select(col("vec_id"), l2normalize(col("emb")).as("emb"))
       .localCheckpoint()
     var (cents, centIds) = graft.runtime.Checkpoints.tracked(
@@ -81,15 +150,19 @@ object Kmeans {
     for (_ <- 0 until iters) {
       val w = Window.partitionBy("vec_id")
         .orderBy(col("sim").desc, col("cent_id").asc)
+      val assignedPlan = v.join(broadcast(cents))
+        .withColumn("sim", dot(col("emb"), col("ce")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("emb"), col("cent_id").as("cell"),
+                col("sim"))
       // the assigned frame is CORPUS-sized — tracked so each round's copy
-      // is freed before the next (Checkpoints doc: the 8 GiB soak lesson)
-      val (assigned, assignedIds) = graft.runtime.Checkpoints.tracked(
-        v.join(broadcast(cents))
-          .withColumn("sim", dot(col("emb"), col("ce")))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("emb"), col("cent_id").as("cell"),
-                  col("sim")))
-      objective += assigned.agg(sum("sim")).head().getDouble(0)
+      // is freed before the next (Checkpoints doc: the 8 GiB soak lesson);
+      // only needed when it has two consumers (objective + means)
+      val (assigned, assignedIds) =
+        if (withObjective) graft.runtime.Checkpoints.tracked(assignedPlan)
+        else (assignedPlan, Set.empty[Int])
+      if (withObjective)
+        objective += assigned.agg(sum("sim")).head().getDouble(0)
       // element-wise mean per cell; empty cells keep the old centroid
       val means = assigned
         .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
@@ -103,7 +176,7 @@ object Kmeans {
         cents.join(means, Seq("cent_id"), "left_outer")
           .select(col("cent_id"),
                   coalesce(col("new_ce"), col("ce")).as("ce")))
-      graft.runtime.Checkpoints.free(assigned, assignedIds)
+      if (withObjective) graft.runtime.Checkpoints.free(assigned, assignedIds)
       graft.runtime.Checkpoints.free(cents, centIds)
       cents = nextCents; centIds = nextCentIds
     }
