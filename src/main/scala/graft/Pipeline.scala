@@ -986,13 +986,26 @@ object Pipeline {
             all.select("mention_id", "label"), dict, edScoreFn(ed),
             ed.meThreshold, ed.mmThreshold, hotKeysIn = hotIn)
           .localCheckpoint()
-        // ONE CC loop feeds both the NastyLinker split and the recorded
-        // component table
-        val cc = graft.canonical.ConnectedComponents
-          .run(edges.select("src", "dst")).localCheckpoint()
+        // ONE component table feeds both the NastyLinker split and the
+        // recorded delta state — computed over the KEY-CONTRACTED graph
+        // (identical output, no per-mention CC rounds — see
+        // AlignmentGraph.components); NastyLinker still reads the FULL
+        // weighted edge set.
+        val cc = AlignmentGraph.components(
+            all.select("mention_id", "label"),
+            edges.filter(col("dst").startsWith("e:")).select("src", "dst"),
+            ed.mmThreshold, hotIn,
+            // the default prior scorer reads only dict-row columns, so the
+            // ME edge set is a function of the key — hot buckets contract
+            keyDeterminedScores =
+              ed.scoreFn.isEmpty &&
+                (ed.meScore eq Canonicalization.DefaultMeScore))
+          .localCheckpoint()
         val assign = AlignmentGraph.clusterEdges(
           all.select("mention_id", "label"), edges,
-          ed.pathThreshold, rep, ccIn = Some(cc))
+          ed.pathThreshold, rep, ccIn = Some(cc),
+          nilCliqueHint = Some(AlignmentGraph.mmCliqueHint(
+            all.select("mention_id", "label"), ed.mmThreshold, hotIn)))
         (edSubjectsOf(all, assign), edComponentsOf(all, cc))
       })
 
@@ -1008,8 +1021,12 @@ object Pipeline {
             bu.meThreshold, bu.mmThreshold, hotKeysIn = hotIn)
           .localCheckpoint()
         val mm = buMmEdges(edges, bu.mmThreshold)
-        val mmCc = graft.canonical.ConnectedComponents
-          .run(mm.select(col("m1").as("src"), col("m2").as("dst")))
+        // MM components in closed form — same-key cliques ARE the
+        // components, so no CC loop runs at all (see
+        // AlignmentGraph.mmComponents); the fold still consumes the full
+        // ordered `mm` edge list
+        val mmCc = AlignmentGraph.mmComponents(
+            all.select("mention_id", "label"), bu.mmThreshold, hotIn)
           .localCheckpoint()
         val assign = graft.canonical.BottomUpCluster.cluster(
           buMeEdges(edges), mm, bu.mmThreshold, bu.meThreshold,

@@ -122,8 +122,139 @@ object AlignmentGraph {
     val edges = buildScored(mentions, dict, scoreFn, meThreshold,
                             mmThreshold, hotKeysIn)
       .localCheckpoint()
-    clusterEdges(mentions, edges, pathThreshold, report)
+    clusterEdges(mentions, edges, pathThreshold, report,
+                 nilCliqueHint =
+                   Some(mmCliqueHint(mentions, mmThreshold, hotKeysIn)))
   }
+
+  /** Small-bucket mentions with their per-key representative:
+    * (mention_id, key, rep = min mention_id of the key, bsize). The cap
+    * mirrors [[buildScored]] exactly (same hot-key exclusion). */
+  private def smallWithRep(mentions: DataFrame,
+                           hotKeysIn: Option[DataFrame]): DataFrame = {
+    val keyed = graphMentions(mentions)
+    val hotKeys = hotKeysIn.getOrElse(
+      keyed.groupBy("key").agg(count(lit(1)).as("bsize"))
+        .filter(col("bsize") > maxKeyBucket(mentions.sparkSession))
+        .select("key"))
+    val small = keyed.join(hotKeys, Seq("key"), "left_anti")
+    small.join(
+      small.groupBy("key").agg(min("mention_id").as("rep"),
+                               count(lit(1)).as("bsize")), "key")
+  }
+
+  /** MM-edge connected components in CLOSED FORM: [[buildScored]]'s MM
+    * edges connect exactly the small-bucket mentions of one key (a capped
+    * clique), so the component table of the MM-only graph — what BottomUp
+    * mode records and folds over — is the projection
+    * (member, min member of its key) over buckets of size ≥ 2, with no
+    * iterative loop at all. Identical to `ConnectedComponents.run` over
+    * the MM pair set: same node set (singleton buckets produce no edges),
+    * same min-id component labels. Empty when mmThreshold ≥ 1 (no MM edges
+    * survive), mirroring the builder's filter. */
+  def mmComponents(mentions: DataFrame, mmThreshold: Double,
+                   hotKeysIn: Option[DataFrame]): DataFrame = {
+    val m2rep = smallWithRep(mentions, hotKeysIn)
+    m2rep
+      .filter(lit(1.0 > mmThreshold) && col("bsize") >= 2)
+      .select(col("mention_id").as("node"), col("rep").as("component"))
+  }
+
+  /** Connected components of the FULL alignment graph (ME ∪ MM edges),
+    * computed over the KEY-CONTRACTED graph: every same-key MM clique is
+    * collapsed into its representative (rep = min member), ME edges are
+    * re-pointed at the rep, and the star-contraction loop runs over a
+    * graph of |keys| + |hot mentions| + |entities| nodes instead of every
+    * mention; members are then expanded back to their rep's component.
+    * Identical output to `ConnectedComponents.run(edges)` by construction:
+    * contraction preserves connectivity (clique members are mutually
+    * connected and share ALL their non-MM adjacency through the
+    * component), and component labels are min node ids, which contraction
+    * preserves because rep is each clique's min mention. Falls back to the
+    * plain loop when mmThreshold ≥ 1 (no MM edges → nothing to contract).
+    *
+    * `meEdges`: the builder's ME edge subset ("m:" src, "e:" dst).
+    *
+    * `keyDeterminedScores = true` asserts the ME edge SET is a function of
+    * the mention's KEY alone (true for the default prior scorer: the score
+    * is a dict-row property, so every mention of a key carries the same
+    * candidate edges) — then HOT-key mentions contract too: a hot key's
+    * members are pairwise connected through any shared candidate entity
+    * (all-or-none per key), so collapsing them onto the key's min member
+    * preserves both connectivity and min-id labels, and the CC loop runs
+    * over ~|keys| + |entities| nodes. Per-mention scorers must pass false
+    * (hot mentions then stay individual nodes). */
+  def components(mentions: DataFrame, meEdges: DataFrame,
+                 mmThreshold: Double,
+                 hotKeysIn: Option[DataFrame],
+                 keyDeterminedScores: Boolean = false): DataFrame = {
+    if (!(1.0 > mmThreshold))
+      return ConnectedComponents.run(meEdges.select("src", "dst"))
+    val keyed = graphMentions(mentions)
+    val hotKeys = hotKeysIn.getOrElse(
+      keyed.groupBy("key").agg(count(lit(1)).as("bsize"))
+        .filter(col("bsize") > maxKeyBucket(mentions.sparkSession))
+        .select("key"))
+    // (mention, rep, bsize, is_small): rep/bsize over the CONTRACTIBLE
+    // population — small buckets always; hot buckets too when scores are
+    // key-determined
+    val contractible =
+      if (keyDeterminedScores) keyed
+      else keyed.join(hotKeys, Seq("key"), "left_anti")
+    val m2rep = contractible
+      .join(hotKeys.withColumn("is_hot", lit(true)), Seq("key"), "left")
+      .join(contractible.groupBy("key")
+              .agg(min("mention_id").as("rep"), count(lit(1)).as("bsize")),
+            "key")
+      .select(col("mention_id"), col("rep"), col("bsize"),
+              coalesce(col("is_hot"), lit(false)).as("is_hot"))
+      .localCheckpoint()
+    // ME edges re-pointed at the key rep (non-contracted mentions keep
+    // their own node)
+    val meC = meEdges
+      .select(expr("substring(src, 3)").as("mid"), col("dst"))
+      .join(m2rep.select(col("mention_id").as("mid"), col("rep")),
+            Seq("mid"), "left")
+      .select(concat(lit("m:"), coalesce(col("rep"), col("mid"))).as("src"),
+              col("dst"))
+    val ccSmall = ConnectedComponents.run(meC).localCheckpoint()
+    // expansion: a member surfaces when its key has MM edges (small bucket
+    // of size ≥ 2 — then a key with no ME adjacency is its own component)
+    // or when its contracted rep reached the ME graph (covers singleton
+    // buckets and, under key-determined scores, hot buckets — whose
+    // members carry no MM edges and so exist in the full graph only
+    // through their ME edges)
+    val expanded = m2rep
+      .select(concat(lit("m:"), col("mention_id")).as("node"),
+              concat(lit("m:"), col("rep")).as("rep_node"),
+              col("bsize"), col("is_hot"))
+      .join(ccSmall.select(col("node").as("rep_node"), col("component")),
+            Seq("rep_node"), "left")
+      .filter((!col("is_hot") && col("bsize") >= 2) ||
+              col("component").isNotNull)
+      .select(col("node"),
+              coalesce(col("component"), col("rep_node")).as("component"))
+    // entities (+ hot-key mentions when not contracted) pass through from
+    // the contracted run
+    val repNodes = m2rep
+      .select(concat(lit("m:"), col("rep")).as("node")).distinct()
+    val passThrough = ccSmall.join(repNodes, Seq("node"), "left_anti")
+    expanded.unionByName(passThrough)
+  }
+
+  /** The MM clique structure of [[buildScored]]'s edge set as a
+    * (node, clique) map over the small-bucket mention nodes ("m:" ids →
+    * key): the caller-side assertion [[NastyLinker.cluster]]'s
+    * `nilCliqueHint` consumes — every MM edge connects two nodes of one
+    * clique and every clique is complete, so any induced subgraph of the
+    * MM part clusters per clique in closed form. Empty when
+    * mmThreshold ≥ 1 (no MM edges). */
+  def mmCliqueHint(mentions: DataFrame, mmThreshold: Double,
+                   hotKeysIn: Option[DataFrame]): DataFrame =
+    smallWithRep(mentions, hotKeysIn)
+      .filter(lit(1.0 > mmThreshold))
+      .select(concat(lit("m:"), col("mention_id")).as("node"),
+              col("key").as("clique"))
 
   /** The mention key projection shared by the edge builder and the
     * delta-maintained key-count view ([[graft.Pipeline]]'s `ed_key_counts`)
@@ -144,12 +275,14 @@ object AlignmentGraph {
   def clusterEdges(mentions: DataFrame, edges: DataFrame,
                    pathThreshold: Double = 0.75,
                    report: graft.runtime.LoopReport = null,
-                   ccIn: Option[DataFrame] = None): DataFrame = {
+                   ccIn: Option[DataFrame] = None,
+                   nilCliqueHint: Option[DataFrame] = None): DataFrame = {
     // clustered is consumed TWICE below (the left_anti probe and the union
     // output) — without its own checkpoint each action re-executes
     // NastyLinker's cluster-assembly join tree once per consumer
     val clustered = NastyLinker.cluster(edges, pathThreshold, report = report,
-                                        ccIn = ccIn)
+                                        ccIn = ccIn,
+                                        nilCliqueHint = nilCliqueHint)
       .localCheckpoint()
     // mentions with NO candidate edge at all never reach the graph: they
     // are singleton NIL clusters (the reference only clusters graph nodes;

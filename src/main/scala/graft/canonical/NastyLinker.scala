@@ -42,10 +42,20 @@ object NastyLinker {
     *  - multi-entity components are split by best-path score as above;
     *  - NIL rows have ent = null and cluster_id = "nil:<min mention id>"
     *    (content-derived, partitioning-invariant). */
+  /** `nilCliqueHint`: optional (node, clique) map asserting that the MM
+    * (mention–mention) edge subset is EXACTLY the union of complete
+    * cliques given by the map (the [[AlignmentGraph.buildScored]] shape —
+    * capped same-key cliques; see [[AlignmentGraph.mmCliqueHint]]). NIL
+    * clustering then runs in CLOSED FORM: entity nodes are never NIL, so
+    * the NIL-induced subgraph contains only MM edges, an induced subgraph
+    * of a complete clique is complete, and its components are the per-
+    * clique NIL groups labelled by their min member — no CC loop. Without
+    * the hint the generic induced-subgraph CC runs as before. */
   def cluster(edges: DataFrame, pathThreshold: Double = 0.75,
               maxIter: Int = 30,
               report: graft.runtime.LoopReport = null,
-              ccIn: Option[DataFrame] = None): DataFrame = {
+              ccIn: Option[DataFrame] = None,
+              nilCliqueHint: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst"),
                          least(col("weight"), lit(1.0)).as("weight"))
 
@@ -145,10 +155,23 @@ object NastyLinker {
       .select("node")
     val nilNodes = unassigned.unionByName(zeroEnt).localCheckpoint()
     // components of the subgraph INDUCED on NIL nodes (both endpoints NIL)
-    val nilEdges = e.select("src", "dst")
-      .join(nilNodes.select(col("node").as("src")), "src")
-      .join(nilNodes.select(col("node").as("dst")), "dst")
-    val nilCc = ConnectedComponents.run(nilEdges)
+    val nilCc = nilCliqueHint match {
+      case Some(hint) =>
+        // closed form (see scaladoc): per-clique NIL groups, min-member
+        // label; cliques contributing a single NIL node yield that node
+        // as its own component — identical to the induced-subgraph CC
+        // (which would see no edge for it and omit it; the left_outer
+        // fallback below maps both spellings to the same cluster)
+        nilNodes.join(hint, "node")
+          .withColumn("component",
+            min("node").over(Window.partitionBy("clique")))
+          .select("node", "component")
+      case None =>
+        val nilEdges = e.select("src", "dst")
+          .join(nilNodes.select(col("node").as("src")), "src")
+          .join(nilNodes.select(col("node").as("dst")), "dst")
+        ConnectedComponents.run(nilEdges)
+    }
     val nil = nilNodes.join(nilCc, Seq("node"), "left_outer")
       .select(col("node"),
               coalesce(col("component"), col("node")).as("cluster"))

@@ -18,23 +18,23 @@ object NilCluster {
 
   /** unlinked(mention_id, key, ...) → assignments(mention_id, ent).
     *
-    * Every mention node carries exactly ONE key edge, so a component never
-    * spans beyond its key — which makes the assignment PAGE-LOCAL: clustering
+    * Every mention node carries exactly ONE key edge (`key` is a function
+    * of the mention's label), so each component of the mention↔key
+    * bipartite graph is exactly one key plus its mentions — the former
+    * star-contraction loop's fixpoint is known in CLOSED FORM and the
+    * assignment is a zero-shuffle projection: ent = "new:" + key (the
+    * `distinct` mirrors the node dedup the CC formulation performed; it is
+    * the only shuffle left). The general loop lives on in
+    * [[ConnectedComponents]] for graphs that are not degree-1-bipartite.
+    * This also makes the assignment PAGE-LOCAL by inspection: clustering
     * any url-slice of the input yields the same (mention_id, ent) rows as
     * clustering the whole corpus (the property [[graft.Pipeline.runDelta]]'s
     * subjects maintenance relies on). */
   def cluster(unlinked: DataFrame,
               report: graft.runtime.LoopReport = null): DataFrame = {
-    val edges = unlinked.select(
-      concat(lit("m:"), col("mention_id")).as("src"),
-      concat(lit("k:"), col("key")).as("dst"))
-    val cc = ConnectedComponents.run(edges, report)
-    val keyNodes = cc.filter(col("node").startsWith("k:"))
-      .select(col("component"),
-              concat(lit("new:"), expr("substring(node, 3)")).as("ent"))
-    cc.filter(col("node").startsWith("m:"))
-      .select(expr("substring(node, 3)").as("mention_id"), col("component"))
-      .join(keyNodes, "component")
-      .select("mention_id", "ent")
+    // no iterative operator runs anymore: -1 is the lineage convention
+    if (report != null) { report.rounds = -1; report.converged = true }
+    unlinked.select(col("mention_id"),
+                    concat(lit("new:"), col("key")).as("ent")).distinct()
   }
 }

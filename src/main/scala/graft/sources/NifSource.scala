@@ -30,23 +30,28 @@ object NifSource {
   /** Raw triple parse: (subj, pred, obj, is_literal) with IRIs verbatim;
     * literal objects unescaped. Non-triple lines (comments, blanks) drop. */
   def parseRaw(lines: DataFrame): DataFrame = {
-    val objTriples = lines
-      .filter(col("value").rlike(NtSource.objPat))
+    // ONE pass: the former obj/literal branch UNION scanned (and, for
+    // generated line frames, re-generated) the input twice and re-ran the
+    // object regex on both sides; the match flags are materialized in
+    // their own projection so each rlike runs once per row and the
+    // branches collapse into per-column CASE WHEN
+    lines
+      .select(col("value"),
+              col("value").rlike(NtSource.objPat).as("is_obj"),
+              col("value").rlike(NtSource.litPat).as("is_lit"))
+      .filter(col("is_obj") || col("is_lit"))
       .select(
-        regexp_extract(col("value"), NtSource.objPat, 1).as("subj"),
-        regexp_extract(col("value"), NtSource.objPat, 2).as("pred"),
-        regexp_extract(col("value"), NtSource.objPat, 3).as("obj"),
-        lit(false).as("is_literal"))
-    val litTriples = lines
-      .filter(!col("value").rlike(NtSource.objPat) &&
-              col("value").rlike(NtSource.litPat))
-      .select(
-        regexp_extract(col("value"), NtSource.litPat, 1).as("subj"),
-        regexp_extract(col("value"), NtSource.litPat, 2).as("pred"),
-        call_function("nt_unescape_literal",
-          regexp_extract(col("value"), NtSource.litPat, 3)).as("obj"),
-        lit(true).as("is_literal"))
-    objTriples.unionByName(litTriples)
+        when(col("is_obj"), regexp_extract(col("value"), NtSource.objPat, 1))
+          .otherwise(regexp_extract(col("value"), NtSource.litPat, 1))
+          .as("subj"),
+        when(col("is_obj"), regexp_extract(col("value"), NtSource.objPat, 2))
+          .otherwise(regexp_extract(col("value"), NtSource.litPat, 2))
+          .as("pred"),
+        when(col("is_obj"), regexp_extract(col("value"), NtSource.objPat, 3))
+          .otherwise(call_function("nt_unescape_literal",
+            regexp_extract(col("value"), NtSource.litPat, 3)))
+          .as("obj"),
+        (!col("is_obj")).as("is_literal"))
   }
 
   private def nif(name: String): Column = col("pred") === lit(NifCore + name)

@@ -84,10 +84,18 @@ object Induction {
     * (a < b once). */
   def disjointness(relations: DataFrame, types: DataFrame,
                    threshold: Double = 0.132): DataFrame = {
+    // (type, pred)-sized; pinned — the df aggregate and the tf window both
+    // consume it, and through `weights` three more branches (norms, dot a/b
+    // sides) would otherwise re-run the corpus-sized join+aggregate each
+    // (the pre-pin plan held 92 parquet scans with ZERO exchange reuse)
     val typePred = relations.select(col("sub").as("ent"), col("pred"))
       .join(types, "ent")
       .groupBy("tpe", "pred").agg(count(lit(1)).as("cnt"))
-    val nTypes = types.select("tpe").distinct().count()
+      .localCheckpoint()
+    // type-list-sized; pinned — consumed by the nTypes count and both
+    // cross-join sides (each was a full scan of the types input)
+    val allTypes = types.select("tpe").distinct().localCheckpoint()
+    val nTypes = allTypes.count()
     val df = typePred.groupBy("pred")
       .agg(countDistinct("tpe").as("df"))
     val tf = typePred.withColumn("total",
@@ -96,6 +104,7 @@ object Induction {
     val weights = tf.join(broadcast(df), "pred")
       .withColumn("w", col("tf") * log(lit(nTypes.toDouble) / col("df")))
       .select("tpe", "pred", "w")
+      .localCheckpoint() // three consumers: norms + the two dot sides
     val norms = weights.groupBy("tpe")
       .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
     val a = weights.select(col("tpe").as("ta"), col("pred"), col("w").as("wa"))
@@ -104,7 +113,6 @@ object Induction {
       .groupBy("ta", "tb").agg(sum(col("wa") * col("wb")).as("dot"))
     // pairs sharing NO predicate have dot 0 → cosine 0 → disjoint; generate
     // the full pair set from the type list and left-join the dots
-    val allTypes = types.select("tpe").distinct()
     val allPairs = allTypes.select(col("tpe").as("ta"))
       .crossJoin(allTypes.select(col("tpe").as("tb")))
       .filter(col("ta") < col("tb"))

@@ -4,10 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Disposable stage-cost probe for optimization work (not part of the
-  * driver contract; safe to delete). */
+  * driver contract; safe to delete). Profiles the ED subjects_ed stage's
+  * internal phases on the bench corpus shape. */
 object ScratchProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .appName("graft-scratch")
       .config("spark.sql.shuffle.partitions", "32")
@@ -16,42 +16,88 @@ object ScratchProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.ops.Dedup
+    graft.core.Normalize.register(spark)
+    import spark.implicits._
 
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"PROBE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f"); r
     }
-    // warm the scan
-    t("warm-docs")(graft.core.Tables.documents(spark, sfDir).count())
+
+    val world = graft.testkit.CorpusGen.World(nCountries = 250,
+                                              knownPerListing = 12)
+    val base = spark.createDataset(world.pages).toDF()
+    val pages = base
+      .crossJoin(spark.range(8).select(col("id").as("rep")))
+      .withColumn("url", concat(col("url"), lit("?rep="), col("rep")))
+      .drop("rep").localCheckpoint()
+    println("pages " + pages.count())
+    val seeds = world.seeds(spark)
+    val dict = graft.link.AliasLink.buildDict(seeds.aliases).localCheckpoint()
+    val pagesText = t("extract")(
+      graft.ingest.TextExtract.extract(pages).localCheckpoint())
+    val mentions = t("mentions")(
+      graft.listings.ListingExtract.mentions(pagesText).localCheckpoint())
+    println("mentions " + mentions.count())
+    val all = t("linkAll")(
+      graft.link.AliasLink.linkAll(mentions, dict).localCheckpoint())
     (1 to 2).foreach { _ =>
-      val sh = t("sh-checkpoint")(Dedup.shingles(spark, sfDir).localCheckpoint())
-      t("sh-count")(sh.count())
-      val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= Dedup.RareDf).select("shingle")
-      t("rare-count")(rare.count())
-      val shr = sh.join(rare, "shingle")
-      val cand = shr.select(col("doc_id").as("a"), col("shingle"))
-        .join(shr.select(col("doc_id").as("b"), col("shingle")), "shingle")
-        .filter(col("a") < col("b"))
-        .select("a", "b").distinct()
-      val candCp = t("cand-distinct")(cand.localCheckpoint())
-      println("cand rows " + candCp.count())
-      val sets = t("sets-checkpoint")(sh.groupBy("doc_id")
-        .agg(sort_array(collect_set("shingle")).as("shs"))
-        .withColumn("n", size(col("shs")))
+      val edges = t("buildScored+cp")(
+        graft.canonical.AlignmentGraph.buildScored(
+          all.select("mention_id", "label"), dict,
+          cand => cand.withColumn("score", col("freq")), 0.5, 0.5)
         .localCheckpoint())
-      t("verify-join") {
-        candCp
-          .join(sets.select(col("doc_id").as("a"), col("shs").as("sa"),
-                            col("n").as("na")), "a")
-          .join(sets.select(col("doc_id").as("b"), col("shs").as("sb"),
-                            col("n").as("nb")), "b")
-          .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
-          .withColumn("jac", col("c") / (col("na") + col("nb") - col("c")))
-          .filter(col("jac") >= 0.5).count()
-      }
+      val cc = t("components+cp")(
+        graft.canonical.AlignmentGraph.components(
+          all.select("mention_id", "label"),
+          edges.filter(col("dst").startsWith("e:")).select("src", "dst"),
+          0.5, None, keyDeterminedScores = true)
+          .localCheckpoint())
+      println("cc nodes " + cc.count())
+      t("clusterEdges+hint")(
+        graft.canonical.AlignmentGraph.clusterEdges(
+          all.select("mention_id", "label"), edges, 0.75, null, Some(cc),
+          nilCliqueHint = Some(graft.canonical.AlignmentGraph.mmCliqueHint(
+            all.select("mention_id", "label"), 0.5, None)))
+        .count())
     }
+    locally {
+      val edges = graft.canonical.AlignmentGraph.buildScored(
+          all.select("mention_id", "label"), dict,
+          cand => cand.withColumn("score", col("freq")), 0.5, 0.5)
+        .localCheckpoint()
+      val cc = graft.canonical.AlignmentGraph.components(
+        all.select("mention_id", "label"),
+        edges.filter(col("dst").startsWith("e:")).select("src", "dst"),
+        0.5, None, keyDeterminedScores = true).localCheckpoint()
+      val hint = graft.canonical.AlignmentGraph.mmCliqueHint(
+        all.select("mention_id", "label"), 0.5, None)
+      val withHint = graft.canonical.AlignmentGraph.clusterEdges(
+        all.select("mention_id", "label"), edges, 0.75, null, Some(cc),
+        Some(hint)).localCheckpoint()
+      val noHint = graft.canonical.AlignmentGraph.clusterEdges(
+        all.select("mention_id", "label"), edges, 0.75, null, Some(cc),
+        None).localCheckpoint()
+      val d = withHint.unionByName(noHint)
+        .groupBy("mention_id", "ent", "cluster_id")
+        .agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
+      println(s"EQUIV clusterEdges diff=$d n=${withHint.count()}")
+    }
+    // equivalence gate: contracted components == plain CC over full edges
+    val edges = graft.canonical.AlignmentGraph.buildScored(
+        all.select("mention_id", "label"), dict,
+        cand => cand.withColumn("score", col("freq")), 0.5, 0.5)
+      .localCheckpoint()
+    val ccNew = graft.canonical.AlignmentGraph.components(
+      all.select("mention_id", "label"),
+      edges.filter(col("dst").startsWith("e:")).select("src", "dst"),
+      0.5, None, keyDeterminedScores = true).localCheckpoint()
+    val ccOld = graft.canonical.ConnectedComponents
+      .run(edges.select("src", "dst")).localCheckpoint()
+    val diff = ccNew.unionByName(ccOld)
+      .groupBy("node", "component").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 2).count()
+    println(s"EQUIV components diff=$diff new=${ccNew.count()} old=${ccOld.count()}")
     spark.stop()
   }
 }
