@@ -27,16 +27,46 @@ object ConnectedComponents {
 
   import graft.runtime.Checkpoints
 
+  /** Edge-count bound for the driver fast path (conf `graft.cc.driverMax`,
+    * 0 disables): below it the symmetrized edge set is BOUNDED — a few MB —
+    * and the O(log n)-round distributed loop's fixed per-round job costs
+    * (2 window shuffles + distinct + checkpoint + convergence check) dwarf
+    * a driver-side union-find over the collected pairs. Many CC call sites
+    * are verified-pair or taxonomy-scale graphs (dedup clusterKeep: dozens
+    * of pairs; g9: hundreds of edges) that paid seconds of loop scaffolding
+    * for microseconds of work. The count is free: the loop already
+    * checkpoints + counts the symmetrized set before round 1. Same
+    * "broadcast-sized by design" rule as the ValidTags driver fixpoint. */
+  val DriverMaxDefault = 65536L
+
+  private def driverMax(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("graft.cc.driverMax", DriverMaxDefault.toString).toLong
+
   /** edges(src, dst): undirected pairs (any orientation, self-loops ok).
     * Returns (node, component) for every node appearing in `edges`.
     * `report`, when given, receives the round count and convergence flag
-    * (surfaced into stage lineage — north-rule counters). */
+    * (surfaced into stage lineage — north-rule counters; the driver fast
+    * path reports rounds = -1, the non-iterative convention). */
   def run(edges: DataFrame,
           report: graft.runtime.LoopReport = null): DataFrame = {
     var (e, eIds) = Checkpoints.tracked(symmetrize(edges))
     // count of the just-checkpointed edge set: a shuffle-free job over the
     // in-memory blocks, used to SHORT-CIRCUIT the convergence check below
+    // (and to gate the driver fast path)
     var eCount = e.count()
+    val spark = edges.sparkSession
+    val dt = e.schema("src").dataType
+    val driverable = eCount <= driverMax(spark) &&
+      e.schema("dst").dataType == dt &&
+      (dt == org.apache.spark.sql.types.StringType ||
+       dt == org.apache.spark.sql.types.LongType ||
+       dt == org.apache.spark.sql.types.IntegerType)
+    if (driverable) {
+      val out = runDriver(spark, e, dt)
+      Checkpoints.free(e, eIds)
+      if (report != null) { report.rounds = -1; report.converged = true }
+      return out
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
@@ -69,6 +99,63 @@ object ConnectedComponents {
       .unionByName(
         e.select(col("dst").as("node"), col("dst").as("component")))
       .groupBy("node").agg(min("component").as("component"))
+  }
+
+  /** Driver union-find over the (bounded, checkpointed) symmetrized edge
+    * set — same output contract as the loop: component = min node id of
+    * the component, one row per node appearing in the (self-loop-free)
+    * edge set. Deterministic under any input order. */
+  private def runDriver(spark: org.apache.spark.sql.SparkSession,
+                        e: DataFrame,
+                        dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    import scala.collection.mutable
+    val pairs = e.collect().map(r => (r.get(0), r.get(1)))
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var root = x
+      while (parent.getOrElse(root, root) != root)
+        root = parent.getOrElse(root, root)
+      var cur = x // path compression
+      while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    val lt: (Any, Any) => Boolean = dt match {
+      case org.apache.spark.sql.types.StringType =>
+        (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case org.apache.spark.sql.types.LongType =>
+        (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case _ => (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+    }
+    val minOf = mutable.HashMap.empty[Any, Any]
+    val nodes = parent.keys.toArray
+    nodes.foreach { n =>
+      val r = find(n)
+      minOf.get(r) match {
+        case Some(m) => if (lt(n, m)) minOf(r) = n
+        case None => minOf(r) = n
+      }
+    }
+    val assign = nodes.map(n => (n, minOf(find(n))))
+    import spark.implicits._
+    dt match {
+      case org.apache.spark.sql.types.StringType =>
+        assign.toSeq.map(p => (p._1.asInstanceOf[String],
+                               p._2.asInstanceOf[String]))
+          .toDF("node", "component")
+      case org.apache.spark.sql.types.LongType =>
+        assign.toSeq.map(p => (p._1.asInstanceOf[Long],
+                               p._2.asInstanceOf[Long]))
+          .toDF("node", "component")
+      case _ =>
+        assign.toSeq.map(p => (p._1.asInstanceOf[Int],
+                               p._2.asInstanceOf[Int]))
+          .toDF("node", "component")
+    }
   }
 
   private def symmetrize(edges: DataFrame): DataFrame =
