@@ -100,6 +100,10 @@ object Normalize {
       "html_to_text",
       exprs => graft.ingest.TextExtract.HtmlToTextExpr(exprs.head),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "vec_dot",
+      exprs => graft.functions.VectorOps.DotExpr(exprs.head, exprs(1)),
+      "built-in")
   }
 
   /** Column wrapper for the native expression. Requires [[register]] to have

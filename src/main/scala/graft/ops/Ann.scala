@@ -23,12 +23,14 @@ object Ann {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** THE dot/cosine spelling (zip_with + aggregate in strict index order —
-    * bit-identical to the oracle's list_transform+list_sum); shared with
+  /** THE dot/cosine spelling — the codegen'd
+    * [[graft.functions.VectorOps.DotExpr]] loop, bit-identical to the
+    * former `aggregate(zip_with(...))` fold (strict index order, same null
+    * semantics) and to the oracle's list_transform+list_sum; shared with
     * [[Dedup]]'s embedding ops so every cosine in the engine accumulates in
     * the same order and scores stay comparable across ops. */
   private[ops] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.dot(a, b)
 
   private[ops] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -100,18 +102,38 @@ object Ann {
     * probe_rank 1..nProbe). */
   def assignCells(e: DataFrame, centroids: DataFrame,
                   nProbe: Int = 1): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cent_id").asc)
     // norms hoisted: once per vector / centroid row, not once per
     // (vector × centroid) pair — bit-identical (see cosinePre)
-    e.withColumn("_ne", norm(col("emb")))
+    val scored = e.withColumn("_ne", norm(col("emb")))
       .join(broadcast(centroids.withColumn("_nc", norm(col("ce")))))
       .withColumn("ccos",
         cosinePre(col("emb"), col("ce"), col("_ne"), col("_nc")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") <= nProbe)
-      .select(col("vec_id"), col("emb"), col("cent_id").as("cell"),
-              col("arn").as("probe_rank"))
+    val centNumeric = centroids.schema("cent_id").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (nProbe == 1 && centNumeric) {
+      // top-1 as a map-side-combinable aggregate: the k-way row blow-up
+      // collapses to one row per vector BEFORE the exchange, instead of
+      // shuffling every (vector × centroid) row (with its embedding)
+      // through the row_number window (guide §2.3 "aggregate before you
+      // shuffle"). max(struct(ccos, -cent_id)) ≡ (ccos desc, cent_id asc)
+      // — Spark's struct and window orderings agree on doubles (NaN
+      // greatest), and cent_id is unique per candidate row.
+      scored.groupBy("vec_id")
+        .agg(max(struct(col("ccos"), (-col("cent_id")).as("_negc"),
+                        col("cent_id"))).as("_best"),
+             first("emb").as("emb")) // emb is constant per vec_id
+        .select(col("vec_id"), col("emb"),
+                col("_best.cent_id").as("cell"),
+                lit(1).as("probe_rank"))
+    } else {
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cent_id").asc)
+      scored
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") <= nProbe)
+        .select(col("vec_id"), col("emb"), col("cent_id").as("cell"),
+                col("arn").as("probe_rank"))
+    }
   }
 
   /** IVF top-3 with the oracle fixture centroids, nProbe = 1 (the driver
@@ -140,8 +162,11 @@ object Ann {
     indexed
       .join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      // a (query, neighbor) pair can surface through several probed cells
-      .dropDuplicates("query_id", "neighbor_id")
+      // no pair dedup needed: the INDEX side is always top-1 (one cell per
+      // neighbor), so a (query, neighbor) pair matches exactly one of the
+      // query's probed cells even at nProbe > 1 — the former
+      // dropDuplicates was a no-op that shuffled every candidate pair
+      // with both embedding arrays aboard
       .withColumn("cos", cosinePre(col("qe"), col("ne"), col("qn"), col("nn")))
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= 3)

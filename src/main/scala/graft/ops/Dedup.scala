@@ -497,8 +497,11 @@ object Dedup {
       .join(assigned.select(col("vec_id").as("b"), col("emb").as("eb"),
                             col("nrm").as("nb"), col("cell")), "cell")
       .filter(col("a") < col("b"))
-      // with nProbe > 1 a pair can share several probed cells
-      .dropDuplicates("a", "b")
+      // with nProbe > 1 a pair can share several probed cells; at
+      // nProbe = 1 every vector sits in exactly one cell, so the dedup is
+      // a no-op — skipping it drops a full shuffle of the candidate pairs
+      // WITH both embedding arrays aboard
+      .transform(df => if (nProbe > 1) df.dropDuplicates("a", "b") else df)
       .withColumn("cos", Ann.cosinePre(col("ea"), col("eb"),
                                        col("na"), col("nb")))
       .filter(col("cos") >= 0.35)

@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
 object Kmeans {
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.dot(a, b) // codegen'd, fold-order-identical
 
   /** L2-normalize an array<double> column (zero vectors pass through). */
   def l2normalize(c: Column): Column = {
@@ -147,14 +147,31 @@ object Kmeans {
     var (cents, centIds) = graft.runtime.Checkpoints.tracked(
       init.select(col("cent_id"), l2normalize(col("ce")).as("ce")))
     val objective = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val centNumeric = init.schema("cent_id").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("sim").desc, col("cent_id").asc)
-      val assignedPlan = v.join(broadcast(cents))
+      val scored = v.join(broadcast(cents))
         .withColumn("sim", dot(col("emb"), col("ce")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("emb"), col("cent_id").as("cell"),
-                col("sim"))
+      // top-1 cell as a map-side-combinable aggregate (same argmax
+      // equivalence as Ann.assignCells: max(struct(sim, -cent_id)) ≡
+      // (sim desc, cent_id asc)) — one row per vector leaves the map side
+      // instead of the k-way join blow-up passing through a window
+      val assignedPlan =
+        if (centNumeric)
+          scored.groupBy("vec_id")
+            .agg(max(struct(col("sim"), (-col("cent_id")).as("_negc"),
+                            col("cent_id"))).as("_best"),
+                 first("emb").as("emb"))
+            .select(col("vec_id"), col("emb"),
+                    col("_best.cent_id").as("cell"), col("_best.sim").as("sim"))
+        else {
+          val w = Window.partitionBy("vec_id")
+            .orderBy(col("sim").desc, col("cent_id").asc)
+          scored
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("vec_id"), col("emb"), col("cent_id").as("cell"),
+                    col("sim"))
+        }
       // the assigned frame is CORPUS-sized — tracked so each round's copy
       // is freed before the next (Checkpoints doc: the 8 GiB soak lesson);
       // only needed when it has two consumers (objective + means)
