@@ -29,6 +29,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // NOTE on the former .jvmopts flags (periodicGC.interval=30s and
+  // coalescePartitions.minPartitionNum=8): -D flags in .jvmopts reach only
+  // the sbt launcher JVM — sbt forks run/test JVMs with javaOptions alone,
+  // so those settings never applied to any bench (verified empirically:
+  // System.getProperty returned null in the forked JVM). Re-tested HERE,
+  // where they DO apply, both measured worse and were dropped: the AQE
+  // floor cost the ED pipeline 49.4 vs 42.4 s and f7_table_grid 5.58 vs
+  // 4.79 s warm; periodic GC (a forced full GC every 30 s) cost the query
+  // total 85.3/87.1 vs 78.5/83.6 s over two paired full-bench A/Bs.
   // throughput GC: steadier task times than G1 for allocation-heavy
   // parse/shuffle work in local mode (measured on Bench's scaling job)
   "-XX:+UseParallelGC",

@@ -94,6 +94,13 @@ object NastyLinker {
     val entities = multiNodes.filter(col("node").startsWith("e:"))
       .select(col("node"), col("node").as("ent"), lit(1.0).as("score"))
     var (cur, curIds) = graft.runtime.Checkpoints.tracked(entities)
+    // count of the just-checkpointed frontier — a shuffle-free job over the
+    // in-memory blocks. Both `cur` and each round's `merged` hold exactly
+    // one row per node (row_number = 1 per node window), so set equality
+    // REQUIRES equal counts; the cheap count gate below skips the
+    // union+aggregate symmetric-difference job on every round that still
+    // grows the reached set (same discipline as ConnectedComponents.run).
+    var curCount = cur.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -115,13 +122,16 @@ object NastyLinker {
         fresh(cur).unionByName(fresh(cand))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn"))
-      // one-action convergence: symmetric difference of two keyed sets
-      converged = fresh(merged).unionByName(fresh(cur))
-        .groupBy("node", "ent", "score").agg(count(lit(1)).as("c"))
-        .filter(col("c") === 1).isEmpty
+      // convergence: symmetric difference of two keyed sets — run only when
+      // the count gate says equality is possible (typically the final round)
+      val mergedCount = merged.count()
+      converged = mergedCount == curCount &&
+        fresh(merged).unionByName(fresh(cur))
+          .groupBy("node", "ent", "score").agg(count(lit(1)).as("c"))
+          .filter(col("c") === 1).isEmpty
       // free the superseded round (same discipline as ConnectedComponents)
       graft.runtime.Checkpoints.free(cur, curIds)
-      cur = merged; curIds = mergedIds
+      cur = merged; curIds = mergedIds; curCount = mergedCount
       iter += 1
     }
     if (report != null) { report.rounds = iter; report.converged = converged }

@@ -208,7 +208,11 @@ object Dedup {
     * [[MaxBucket]] self-join all pairs; hot buckets star-pair against the
     * bucket minimum (linear — the mass-template regime). Input `dsh`:
     * (doc_id, sid) distinct shingle ids. */
-  private def lshCandidates(dsh: DataFrame): DataFrame = {
+  /** `dedup = false` skips the final pair `distinct()` — correct ONLY for
+    * consumers insensitive to duplicate (a, b) rows (the containment gate's
+    * left_semi probe side), where the dedup shuffle is a provable no-op. */
+  private def lshCandidates(dsh: DataFrame,
+                            dedup: Boolean = true): DataFrame = {
     // ONE doc_id-keyed aggregation computes all 8 minhashes as columns —
     // the former shape exploded dsh 8× and paid TWO shuffles ((doc_id, k)
     // aggregate, then a (doc_id, band) collect_list) to assemble the band
@@ -249,7 +253,8 @@ object Dedup {
     val star = sized // bmin < doc_id by construction, so a < b holds
       .filter(col("bsize") > MaxBucket && col("doc_id") =!= col("bmin"))
       .select(col("bmin").as("a"), col("doc_id").as("b"))
-    allPairs.unionByName(star).distinct()
+    val pairs = allPairs.unionByName(star)
+    if (dedup) pairs.distinct() else pairs
   }
 
   def minhashLsh(s: SparkSession, d: String): DataFrame =
@@ -296,9 +301,11 @@ object Dedup {
   def minhashLshFast(s: SparkSession, d: String): DataFrame =
     minhashLshFastFrom(shingles(s, d))
 
-  private def minhashLshFastFrom(sh: DataFrame): DataFrame =
+  private def minhashLshFastFrom(sh: DataFrame,
+                                 dedup: Boolean = true): DataFrame =
     lshCandidates(sh.select(
-      col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("sid")))
+      col("doc_id"), pmod(xxhash64(col("shingle")), lit(P)).as("sid")),
+      dedup)
 
   /** The driver-checkable form of the fast path's containment invariant
     * (VERDICT r4 #7 — this used to be the one permanently `no_oracle`
@@ -315,7 +322,10 @@ object Dedup {
     // sets, fast-path sids) — pin once, same discipline (and measured A/B
     // methodology) as ngramJaccard's shingle pin
     val sh = shingles(s, d).localCheckpoint()
-    minhashLshFrom(sh).join(minhashLshFastFrom(sh), Seq("a", "b"), "left_semi")
+    // the probe side of a left_semi is duplicate-insensitive — skip the
+    // fast path's final pair-dedup shuffle (a provable no-op here)
+    minhashLshFrom(sh).join(minhashLshFastFrom(sh, dedup = false),
+                            Seq("a", "b"), "left_semi")
   }
 
   /** SimHash band count / width. Hamming <= HammingMax < SimhashBands, so by

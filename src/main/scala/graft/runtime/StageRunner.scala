@@ -22,6 +22,17 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
 
   private def path(stage: String) = s"$outDir/$stage"
 
+  /** rows_out for a just-written (or resumed materialized) stage table: sum of
+    * the parquet footers' record counts, read driver-side — numerically
+    * identical to `df.count()` on the same files, without the per-stage
+    * count JOB the old shape paid (~0.18 s of scheduling for metadata the
+    * footers already hold; tools/LineageProbe). Falls back to `df.count()`
+    * for layer views (which resolve through parents) and for tables with
+    * more files than a driver should list-and-open serially. */
+  private def rowsOut(stage: String, df: DataFrame): Long =
+    if (StageRunner.layerDepth(path(stage)) > 0) df.count()
+    else StageRunner.footerRowCount(spark, path(stage)).getOrElse(df.count())
+
   /** Absolute path of a stage under this runner's outDir (carry layers
     * reference fresh-slice checkpoints by path). */
   def pathOf(stage: String): String = path(stage)
@@ -29,12 +40,8 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
     StageRunner.completed(outDir, stage)
 
   private def appendLineage(
-      rows: Seq[(String, String, Long, Long, Long, Long, Boolean, Long, Boolean)]): Unit = {
-    import spark.implicits._
-    rows.toDF("stage", "run_id", "rows_in", "rows_out", "skipped", "wall_ms",
-              "resumed", "loop_rounds", "converged")
-      .write.mode(SaveMode.Append).parquet(s"$outDir/_lineage")
-  }
+      rows: Seq[(String, String, Long, Long, Long, Long, Boolean, Long, Boolean)]): Unit =
+    StageRunner.appendLineageRows(spark, s"$outDir/_lineage", rows)
 
   /** Run (or resume) an unpartitioned stage. `rowsIn` is a cheap driver-side
     * count supplied by the caller when known (-1 = unknown; never forces an
@@ -48,14 +55,14 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
       if (report == null) (-1L, true) else (report.rounds, report.converged)
     if (done(stage)) {
       val df = StageRunner.read(spark, path(stage))
-      appendLineage(Seq((stage, runId, rowsIn, df.count(), 0L,
+      appendLineage(Seq((stage, runId, rowsIn, rowsOut(stage, df), 0L,
         (System.nanoTime() - t0) / 1000000, true, -1L, true)))
       df
     } else {
       f.write.mode(SaveMode.Overwrite).parquet(path(stage))
       val df = spark.read.parquet(path(stage))
       val (rounds, conv) = loopCols
-      appendLineage(Seq((stage, runId, rowsIn, df.count(), 0L,
+      appendLineage(Seq((stage, runId, rowsIn, rowsOut(stage, df), 0L,
         (System.nanoTime() - t0) / 1000000, false, rounds, conv)))
       df
     }
@@ -80,7 +87,7 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
         if (report == null) (-1L, true) else (report.rounds, report.converged)
       if (done(stage)) {
         val df = StageRunner.read(spark, path(stage))
-        appendLineage(Seq((stage, runId, rowsIn, df.count(), 0L,
+        appendLineage(Seq((stage, runId, rowsIn, rowsOut(stage, df), 0L,
           (System.nanoTime() - t0) / 1000000, true, -1L, true)))
         df
       } else {
@@ -88,7 +95,7 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
         StageRunner.writeBucketed(f, path(stage), keys.head, n)
         val df = StageRunner.read(spark, path(stage))
         val (rounds, conv) = loopCols
-        appendLineage(Seq((stage, runId, rowsIn, df.count(), 0L,
+        appendLineage(Seq((stage, runId, rowsIn, rowsOut(stage, df), 0L,
           (System.nanoTime() - t0) / 1000000, false, rounds, conv)))
         df
       }
@@ -126,7 +133,7 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
     // on the hot path). Layers record -1 (unresolved view); materialized
     // stages count from parquet metadata (no scan).
     def outRows(df: DataFrame): Long =
-      if (StageRunner.layerDepth(path(stage)) > 0) -1L else df.count()
+      if (StageRunner.layerDepth(path(stage)) > 0) -1L else rowsOut(stage, df)
     if (done(stage)) {
       val df = StageRunner.read(spark, path(stage))
       appendLineage(Seq((stage, runId, rowsIn, outRows(df), 0L,
@@ -211,6 +218,98 @@ object StageRunner {
   /** Default maximum layer-chain length before [[StageRunner#runCarried]]
     * compacts (session conf `graft.delta.maxLayerDepth` overrides). */
   val MaxLayerDepth = 3
+
+  /** The `_lineage` parquet schema, matching what the former
+    * `toDF(...).write.parquet` append produced (strings optional,
+    * primitives required) so old Spark-written and new driver-written files
+    * read together through one `spark.read.parquet`. */
+  private val LineageSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message spark_schema {
+           optional binary stage (UTF8);
+           optional binary run_id (UTF8);
+           required int64 rows_in;
+           required int64 rows_out;
+           required int64 skipped;
+           required int64 wall_ms;
+           required boolean resumed;
+           required int64 loop_rounds;
+           required boolean converged;
+         }""")
+
+  private val lineageSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Max data files for the driver-side footer row count; bigger tables
+    * (a cluster-scale stage) fall back to a distributed `count()`. */
+  private val FooterCountMaxFiles = 512
+
+  /** Sum of the parquet footers' record counts under `dir` (recursive —
+    * partitioned/bucketed stages lay out in key subdirectories), or None
+    * when the table is too many files for serial driver-side opens.
+    * Parquet footers are authoritative row counts, so this equals
+    * `spark.read.parquet(dir).count()` by construction. */
+  private[runtime] def footerRowCount(spark: SparkSession,
+                                      dir: String): Option[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val files = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.LocatedFileStatus]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") &&
+          !name.startsWith("."))
+        files += f
+      if (files.size > FooterCountMaxFiles) return None
+    }
+    var n = 0L
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try n += r.getRecordCount finally r.close()
+    }
+    Some(n)
+  }
+
+  /** Append lineage rows as ONE driver-written parquet file — the row is a
+    * handful of scalars the driver already holds, and the former 1-row
+    * LocalRelation write job cost ~0.15 s of job scheduling + commit
+    * protocol PER STAGE (measured, tools/LineageProbe), which at ~25 stages
+    * per pipeline run was seconds of pure fixed overhead (guide §1.2: the
+    * driver should do almost no data work — and this is no data). Writing
+    * directly preserves the crash-audit property (the file is closed before
+    * the method returns) and the on-disk contract (a parquet file under
+    * `_lineage/`, schema-identical to the previous Spark-written files). */
+  private[runtime] def appendLineageRows(spark: SparkSession, dir: String,
+      rows: Seq[(String, String, Long, Long, Long, Long, Boolean, Long, Boolean)]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    if (!fs.exists(dirPath)) fs.mkdirs(dirPath)
+    val file = new org.apache.hadoop.fs.Path(dirPath,
+      s"lineage-${System.nanoTime()}-${lineageSeq.incrementAndGet()}" +
+        ".snappy.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(file, conf))
+      .withType(LineageSchema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val factory = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      LineageSchema)
+    try rows.foreach { r =>
+      val g = factory.newGroup()
+      g.append("stage", r._1).append("run_id", r._2)
+      g.append("rows_in", r._3).append("rows_out", r._4)
+      g.append("skipped", r._5).append("wall_ms", r._6)
+      g.append("resumed", r._7).append("loop_rounds", r._8)
+      g.append("converged", r._9)
+      writer.write(g)
+    } finally writer.close()
+  }
 
   /** A stage checkpoint is complete iff its parquet _SUCCESS marker exists
     * OR it is a committed carry layer (`_layer` marker, written last) — the
