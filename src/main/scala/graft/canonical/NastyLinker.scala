@@ -64,9 +64,14 @@ object NastyLinker {
     // the iterative loop twice. CC ids are content-derived (min node id),
     // so a supplied table is identical to a recomputed one by construction.
     val cc = ccIn.getOrElse(ConnectedComponents.run(e.select("src", "dst")))
+    // pinned: THREE separate actions re-run this aggregate from cc (the
+    // bidirMulti checkpoint via multiComps, the nilNodes checkpoint via
+    // zeroEnt, the final assembly via `single`); the frame is
+    // component-count-sized
     val entComp = cc.filter(col("node").startsWith("e:"))
       .groupBy("component")
       .agg(countDistinct("node").as("n_ents"), min("node").as("only_ent"))
+      .localCheckpoint()
     val mentions = cc.filter(col("node").startsWith("m:"))
       .select("node", "component")
 

@@ -201,9 +201,18 @@ final class StageRunner(spark: SparkSession, outDir: String, runId: String) {
         .parquet(path(stage))
     val df = spark.read.parquet(path(stage))
     val wall = (System.nanoTime() - t0) / 1000000
-    val perPart = df.groupBy(partCol).count().collect().toSeq
-      .map(r => (s"$stage/$partCol=${r.get(0)}", runId, rowsIn, r.getLong(1),
-                 0L, wall, resumed, -1L, true))
+    // per-partition rows from the partition directories' parquet footers
+    // (driver-side, no job) — identical to the former groupBy(partCol)
+    // count job for the string partition columns used here; the job
+    // remains as the fallback for layouts footers can't settle (nulls'
+    // default-partition dir, oversized tables)
+    val perPartCounts: Seq[(String, Long)] =
+      StageRunner.partitionRowCounts(spark, path(stage), partCol)
+        .getOrElse(df.groupBy(partCol).count().collect().toSeq
+          .map(r => (String.valueOf(r.get(0)), r.getLong(1))))
+    val perPart = perPartCounts
+      .map { case (v, n) => (s"$stage/$partCol=$v", runId, rowsIn, n,
+                 0L, wall, resumed, -1L, true) }
     appendLineage(perPart :+
       ((stage, runId, rowsIn, perPart.map(_._4).sum, 0L, wall, resumed,
         -1L, true)))
@@ -242,6 +251,34 @@ object StageRunner {
   /** Max data files for the driver-side footer row count; bigger tables
     * (a cluster-scale stage) fall back to a distributed `count()`. */
   private val FooterCountMaxFiles = 512
+
+  /** Per-partition-value row counts for a `partitionBy(partCol)` stage
+    * table: one (unescaped value, footer row sum) pair per `partCol=...`
+    * directory. None when the layout defies the driver-side read (no
+    * partition dirs, a null-value default partition — its groupBy
+    * rendering differs — or an oversized subdir). Values are the
+    * directory-name spellings, which for the string partition columns
+    * used here equal the groupBy job's `String.valueOf(r.get(0))`. */
+  private[runtime] def partitionRowCounts(spark: SparkSession, dir: String,
+      partCol: String): Option[Seq[(String, Long)]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val subdirs = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+    if (subdirs.isEmpty) return None
+    val out = subdirs.map { s =>
+      val raw = s.getPath.getName.drop(partCol.length + 1)
+      if (raw == "__HIVE_DEFAULT_PARTITION__") return None
+      footerRowCount(spark, s.getPath.toString) match {
+        case Some(n) =>
+          (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+             .unescapePathName(raw), n)
+        case None => return None
+      }
+    }
+    Some(out)
+  }
 
   /** Sum of the parquet footers' record counts under `dir` (recursive —
     * partitioned/bucketed stages lay out in key subdirectories), or None

@@ -98,6 +98,26 @@ object ScratchProbe {
       .groupBy("node", "component").agg(count(lit(1)).as("c"))
       .filter(col("c") =!= 2).count()
     println(s"EQUIV components diff=$diff new=${ccNew.count()} old=${ccOld.count()}")
+    // size of the CONTRACTED graph CC actually iterates over: replicate
+    // components()'s meC construction and count the symmetrized distinct
+    // edge set (the ConnectedComponents driver-path gate reads this count)
+    locally {
+      val keyed = graft.canonical.AlignmentGraph.graphMentions(
+        all.select("mention_id", "label"))
+      val m2rep = keyed.join(
+        keyed.groupBy("key").agg(min("mention_id").as("rep")), "key")
+      val meC = edges.filter(col("dst").startsWith("e:"))
+        .select(expr("substring(src, 3)").as("mid"), col("dst"))
+        .join(m2rep.select(col("mention_id").as("mid"), col("rep")),
+              Seq("mid"), "left")
+        .select(concat(lit("m:"), coalesce(col("rep"), col("mid"))).as("src"),
+                col("dst"))
+      val sym = meC.select("src", "dst")
+        .unionByName(meC.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      println("CONTRACTED meC rows=" + meC.count() +
+              " symDistinct=" + sym.count())
+    }
     spark.stop()
   }
 }
