@@ -17,7 +17,32 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     KgQueries.triples(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Free the persistent-RDD blocks a PREVIOUS declared query left behind.
+    *
+    * Query functions pin multiply-consumed frames with `localCheckpoint`;
+    * those blocks are non-evictable and the ContextCleaner only releases
+    * them after a driver GC notices the dead references — so across a
+    * 70+-query session (the bench, Verify) completed queries' pins pile up
+    * as dead storage weight and later queries run under artificial memory
+    * pressure (measured: several heavy queries 1.5-2.5× their isolated
+    * walls in-bench). Each query entry releases its predecessors' blocks
+    * explicitly — deterministic, pause-free (unlike a forced periodic GC,
+    * which A/B'd WORSE — and no result can change: every declared query
+    * recomputes from the parquet inputs by contract, and a freed cached
+    * plan (`.cache`) recomputes from its child on next access. Blocks
+    * belonging to the CURRENT query do not exist yet at entry, so a query
+    * never frees its own state. */
+  private def freePriorQueryPins(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queryImpls.map { case (name, fn) =>
+      name -> { (s: SparkSession, d: String) =>
+        freePriorQueryPins(s); fn(s, d)
+      }
+    }
+
+  private def queryImpls: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — relational operator families (SURVEY §2) —
     "s9_stats_report"       -> (Relational.statsReport _),
     "f1_prefilter"          -> (Relational.prefilter _),

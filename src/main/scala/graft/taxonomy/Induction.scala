@@ -55,7 +55,7 @@ object Induction {
     val w = Window.partitionBy("pred")
       .orderBy(col("cnt").desc, col("tpe").asc)
     cnts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .join(totals, "pred")
+      .join(broadcast(totals), "pred") // pred-level, bounded by schema size
       .withColumn("share", col("cnt") / col("total"))
       .filter(col("share") >= threshold)
       .select(col("pred"), col("tpe"), round(col("share"), 6).as("share"))
@@ -116,11 +116,19 @@ object Induction {
     val allPairs = allTypes.select(col("tpe").as("ta"))
       .crossJoin(allTypes.select(col("tpe").as("tb")))
       .filter(col("ta") < col("tb"))
+    // every join side below is taxonomy-bounded (norms: |types| rows; dots:
+    // ≤ |types|²/2 pairs, ~10^5-10^6 at the reference's ~10^3 types — MBs),
+    // but the planner sees only checkpoint-derived frames with unknown
+    // sizes and statically picks sort-merge joins (8 SMJ / 18 Exchange in
+    // the recorded plan); the hints pin the broadcast strategy the sizes
+    // warrant instead of waiting for AQE's runtime conversion
     allPairs
-      .join(dots, Seq("ta", "tb"), "left_outer")
+      .join(broadcast(dots), Seq("ta", "tb"), "left_outer")
       .na.fill(0.0, Seq("dot"))
-      .join(norms.select(col("tpe").as("ta"), col("norm").as("na")), "ta")
-      .join(norms.select(col("tpe").as("tb"), col("norm").as("nb")), "tb")
+      .join(broadcast(norms.select(col("tpe").as("ta"),
+                                   col("norm").as("na"))), "ta")
+      .join(broadcast(norms.select(col("tpe").as("tb"),
+                                   col("norm").as("nb"))), "tb")
       .withColumn("cos", col("dot") / (col("na") * col("nb")))
       .filter(col("cos") <= threshold)
       .select(col("ta"), col("tb"), round(col("cos"), 6).as("cos"))
