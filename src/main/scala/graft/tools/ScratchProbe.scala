@@ -118,6 +118,41 @@ object ScratchProbe {
       println("CONTRACTED meC rows=" + meC.count() +
               " symDistinct=" + sym.count())
     }
+    // decompose components(): m2rep build vs CC vs expansion
+    (1 to 2).foreach { _ =>
+      val keyed = graft.canonical.AlignmentGraph.graphMentions(
+        all.select("mention_id", "label"))
+      val m2rep = t("cmp:m2rep+cp")(
+        keyed
+          .join(keyed.groupBy("key").agg(min("mention_id").as("rep"),
+                                         count(lit(1)).as("bsize")), "key")
+          .select(col("mention_id"), col("rep"), col("bsize"),
+                  lit(false).as("is_hot"))
+          .localCheckpoint())
+      val meC = edges.filter(col("dst").startsWith("e:"))
+        .select(expr("substring(src, 3)").as("mid"), col("dst"))
+        .join(m2rep.select(col("mention_id").as("mid"), col("rep")),
+              Seq("mid"), "left")
+        .select(concat(lit("m:"), coalesce(col("rep"), col("mid"))).as("src"),
+                col("dst"))
+      val ccSmall = t("cmp:ccRun+cp")(
+        graft.canonical.ConnectedComponents.run(meC).localCheckpoint())
+      val expanded = m2rep
+        .select(concat(lit("m:"), col("mention_id")).as("node"),
+                concat(lit("m:"), col("rep")).as("rep_node"),
+                col("bsize"), col("is_hot"))
+        .join(ccSmall.select(col("node").as("rep_node"), col("component")),
+              Seq("rep_node"), "left")
+        .filter((!col("is_hot") && col("bsize") >= 2) ||
+                col("component").isNotNull)
+        .select(col("node"),
+                coalesce(col("component"), col("rep_node")).as("component"))
+      val repNodes = m2rep
+        .select(concat(lit("m:"), col("rep")).as("node")).distinct()
+      val passThrough = ccSmall.join(repNodes, Seq("node"), "left_anti")
+      t("cmp:expand+cp")(
+        expanded.unionByName(passThrough).localCheckpoint())
+    }
     spark.stop()
   }
 }
